@@ -1,0 +1,48 @@
+"""Convolutional backbones producing a multi-scale feature pyramid.
+
+The reference uses small edge-friendly Keras convnets (SURVEY.md §2
+"CenterNet model": conv backbone + upsampling neck). Here the backbone is a
+residual pyramid sized for the MXU: widths are multiples of 32 with the deep
+stages at 128/256 so channel contractions tile the 128-lane systolic array.
+
+Returns features at strides {2, 4, 8, 16, 32} as a dict ``{"c1".."c5"}``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cvm_tpu.models.layers import ConvBN, ResBlock
+
+# name → (stage widths c1..c5, blocks per stage c2..c5)
+BACKBONE_SPECS: Dict[str, Tuple[Sequence[int], Sequence[int]]] = {
+    "tiny": ((16, 32, 64, 128, 256), (1, 1, 2, 2)),
+    "small": ((32, 64, 128, 256, 512), (1, 2, 2, 2)),
+    "base": ((32, 64, 128, 256, 512), (2, 3, 4, 2)),
+}
+
+
+class Backbone(nn.Module):
+    widths: Sequence[int] = BACKBONE_SPECS["small"][0]
+    depths: Sequence[int] = BACKBONE_SPECS["small"][1]
+    dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        feats = {}
+        x = ConvBN(self.widths[0], 3, stride=2, name="stem")(x, train)
+        feats["c1"] = x
+        for i, (w, d) in enumerate(zip(self.widths[1:], self.depths)):
+            x = ConvBN(w, 3, stride=2, name=f"down{i + 2}")(x, train)
+            for j in range(d):
+                x = ResBlock(w, name=f"s{i + 2}b{j}")(x, train)
+            feats[f"c{i + 2}"] = x
+        return feats
+
+
+def make_backbone(name: str) -> Backbone:
+    widths, depths = BACKBONE_SPECS[name]
+    return Backbone(widths=widths, depths=depths)

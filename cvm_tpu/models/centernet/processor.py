@@ -1,0 +1,49 @@
+"""CenterNet device-side processor: image + boxes → model input + GT maps.
+
+Device rebuild of the reference's models/centernet/processor.py (SURVEY.md
+§2 "CenterNet processor"): letterbox/augment/normalize fused with the GT
+Gaussian-splat render, all inside one jitted program.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cvm_tpu.models.centernet.params import CenternetParams
+from cvm_tpu.ops.heatmap import CenternetTargets, render_centernet_targets_batch
+from cvm_tpu.ops.image import map_boxes_to_output
+from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_image_batch
+
+
+def make_processor(params: CenternetParams, train: bool):
+    """Returns jit-compatible (key, raw_batch) → (inputs, targets).
+
+    raw_batch: image (B, Hmax, Wmax, 3) uint8; image_hw (B, 2) int32;
+               boxes (B, K, 4) [x0,y0,x1,y1] original px; classes (B, K);
+               num_objects (B,).
+    """
+    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, params.aug_flip_prob)
+    out_hw = params.input_hw
+    map_hw = params.map_hw
+
+    def process(key, batch) -> Tuple[jnp.ndarray, CenternetTargets]:
+        images, rois = preprocess_image_batch(
+            key, batch["image"], batch["image_hw"], out_hw, train, aug
+        )
+        boxes = (
+            jax.vmap(lambda bx, roi: map_boxes_to_output(bx, roi, out_hw[1]))(
+                batch["boxes"], rois
+            )
+            / params.stride
+        )
+        K = batch["boxes"].shape[1]
+        valid = jnp.arange(K)[None, :] < batch["num_objects"][:, None]
+        targets = render_centernet_targets_batch(
+            boxes, batch["classes"], valid, map_hw, params.num_classes, params.min_overlap
+        )
+        return images, targets
+
+    return process

@@ -1,0 +1,34 @@
+"""Depth device-side processor: image + sparse depth map → input + GT.
+
+Sparse LiDAR GT is resampled nearest-neighbor (bilinear would smear isolated
+valid points into invalid zeros) with the same ROI as the image; zoom changes
+perspective but supervised metric depth is scale-anchored by the GT itself,
+so augmentation is kept mild (params.aug_scale_range). SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cvm_tpu.models.depth.params import DepthParams
+from cvm_tpu.ops.image import sample_nearest
+from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_image_batch
+
+
+def make_processor(params: DepthParams, train: bool):
+    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, params.aug_flip_prob)
+    out_hw = params.input_hw
+
+    def process(key, batch):
+        images, rois = preprocess_image_batch(
+            key, batch["image"], batch["image_hw"], out_hw, train, aug
+        )
+
+        def one(d, hw, roi):
+            return sample_nearest(d, roi, out_hw, valid_hw=(hw[0], hw[1]), pad_value=0.0)
+
+        depth = jax.vmap(one)(batch["depth"], batch["image_hw"], rois)
+        return images, {"depth": depth[..., None]}
+
+    return process

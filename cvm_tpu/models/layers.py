@@ -1,0 +1,112 @@
+"""Shared NN building blocks, NHWC, bf16-compute / fp32-params.
+
+TPU notes: convs lower onto the MXU as implicit matmuls with channels on the
+lane (128) axis — widths are kept multiples of 32/64 so XLA tiles cleanly;
+compute dtype is bfloat16 with fp32 accumulation (flax default for conv).
+BatchNorm statistics reduce over the (possibly sharded) batch axis; under
+GSPMD the reduction spans the global batch, giving sync-BN for free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    """Conv → BatchNorm → activation."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: Optional[Callable] = nn.silu
+    dtype: Dtype = jnp.bfloat16
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            use_bias=not self.use_bn,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                name="bn",
+            )(x)
+            x = x.astype(self.dtype)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class ResBlock(nn.Module):
+    """Basic pre-projection residual block (two 3x3 convs)."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = ConvBN(self.features, 3, dtype=self.dtype, name="c1")(x, train)
+        h = ConvBN(self.features, 3, act=None, dtype=self.dtype, name="c2")(h, train)
+        if x.shape[-1] != self.features:
+            x = ConvBN(self.features, 1, act=None, dtype=self.dtype, name="proj")(x, train)
+        return nn.silu(x + h)
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest 2x upsample — a reshape/broadcast, free on the VPU."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
+
+
+class UpBlock(nn.Module):
+    """2x nearest upsample + skip concat + conv (decoder stage)."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip=None, train: bool = False):
+        x = upsample2x(x)
+        if skip is not None:
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        x = ConvBN(self.features, 3, dtype=self.dtype, name="c1")(x, train)
+        x = ConvBN(self.features, 3, dtype=self.dtype, name="c2")(x, train)
+        return x
+
+
+class Head(nn.Module):
+    """Task head: 3x3 conv → 1x1 projection, fp32 output."""
+
+    features: int
+    out_channels: int
+    bias_init_value: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.features, 3, dtype=self.dtype, use_bn=False, name="c1")(x, train)
+        x = nn.Conv(
+            self.out_channels,
+            (1, 1),
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            bias_init=nn.initializers.constant(self.bias_init_value),
+            name="out",
+        )(x.astype(jnp.float32))
+        return x

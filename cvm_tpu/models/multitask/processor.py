@@ -1,0 +1,50 @@
+"""Multitask processor: one ROI drives image, boxes, mask, and depth GT."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cvm_tpu.models.multitask.params import MultitaskParams
+from cvm_tpu.ops.heatmap import render_centernet_targets_batch
+from cvm_tpu.ops.image import map_boxes_to_output, sample_nearest
+from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_image_batch
+
+
+def make_processor(params: MultitaskParams, train: bool):
+    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, params.aug_flip_prob)
+    out_hw = params.input_hw
+
+    def process(key, batch):
+        images, rois = preprocess_image_batch(
+            key, batch["image"], batch["image_hw"], out_hw, train, aug
+        )
+
+        boxes = (
+            jax.vmap(lambda bx, roi: map_boxes_to_output(bx, roi, out_hw[1]))(
+                batch["boxes"], rois
+            )
+            / params.det_stride
+        )
+        K = batch["boxes"].shape[1]
+        valid = jnp.arange(K)[None, :] < batch["num_objects"][:, None]
+        det = render_centernet_targets_batch(
+            boxes, batch["classes"], valid, params.det_map_hw,
+            params.num_det_classes, params.min_overlap,
+        )
+
+        def seg_one(mask, hw, roi):
+            return sample_nearest(
+                mask, roi, out_hw, valid_hw=(hw[0], hw[1]), pad_value=params.ignore_index
+            )
+
+        seg = jax.vmap(seg_one)(batch["mask"].astype(jnp.int32), batch["image_hw"], rois)
+
+        def depth_one(d, hw, roi):
+            return sample_nearest(d, roi, out_hw, valid_hw=(hw[0], hw[1]), pad_value=0.0)
+
+        depth = jax.vmap(depth_one)(batch["depth"], batch["image_hw"], rois)
+
+        return images, {"det": det, "classes": seg, "depth": depth[..., None]}
+
+    return process

@@ -1,0 +1,41 @@
+"""Semseg hyperparameters (reference: models/semseg/params.py, SURVEY.md §2).
+
+Default classes follow the comma10k road-scene split the reference trains on
+(road / lane markings / undrivable / movable / ego car).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+from cvm_tpu.utils.config import BaseParams
+
+# comma10k-style classes and display palette (RGB).
+SEMSEG_CLASSES = ("road", "lane_markings", "undrivable", "movable", "ego_car")
+SEMSEG_PALETTE = (
+    (64, 32, 32),
+    (255, 0, 255),
+    (128, 128, 96),
+    (0, 255, 102),
+    (204, 0, 255),
+)
+
+
+@dataclasses.dataclass
+class SemsegParams(BaseParams):
+    name: str = "semseg"
+    input_hw: Tuple[int, int] = (256, 640)  # BASELINE config A: 640x256
+    batch_size: int = 8
+    num_classes: int = len(SEMSEG_CLASSES)
+    backbone: str = "small"
+    decoder_features: int = 64
+    class_weights: Tuple[float, ...] = (1.0, 2.0, 1.0, 2.0, 1.0)
+    ignore_index: int = 255
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-5
+    warmup_steps: int = 500
+    total_steps: int = 60_000
+    aug_scale_range: Tuple[float, float] = (0.8, 1.3)
+    aug_shift_frac: float = 0.05
+    aug_flip_prob: float = 0.5

@@ -1,0 +1,99 @@
+"""On-device postprocessing: NMS-free detection decode, semseg, depth.
+
+Replaces the reference's host-side decode (SURVEY.md §3.2: 3x3 max-pool peak
+extraction → top-k → gather offsets/sizes → boxes, done in numpy/tf on host)
+with fused XLA that stays inside the jitted inference program — the decoded
+boxes are the first thing that crosses back to the host.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray    # (B, K, 4) [x0, y0, x1, y1] in input-pixel coords
+    scores: jnp.ndarray   # (B, K)
+    classes: jnp.ndarray  # (B, K) int32
+
+
+def _maxpool3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-1 SAME max-pool over (B, H, W, C)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 1, 1, 1),
+        padding="SAME",
+    )
+
+
+def decode_centernet(
+    heatmap: jnp.ndarray,
+    offset: jnp.ndarray,
+    size: jnp.ndarray,
+    stride: int,
+    top_k: int = 100,
+    from_logits: bool = True,
+) -> Detections:
+    """NMS-free CenterNet decode on device.
+
+    heatmap : (B, Hs, Ws, C) head output (logits by default).
+    offset  : (B, Hs, Ws, 2) sub-pixel center offsets (x, y).
+    size    : (B, Hs, Ws, 2) box (w, h) in output-stride units.
+    """
+    B, Hs, Ws, C = heatmap.shape
+    prob = jax.nn.sigmoid(heatmap) if from_logits else heatmap
+
+    pooled = _maxpool3x3(prob)
+    peaks = jnp.where(pooled == prob, prob, 0.0)
+
+    flat = peaks.reshape(B, Hs * Ws * C)
+    scores, idx = jax.lax.top_k(flat, top_k)  # (B, K)
+
+    cls = (idx % C).astype(jnp.int32)
+    pix = idx // C
+    py = (pix // Ws).astype(jnp.float32)
+    px = (pix % Ws).astype(jnp.float32)
+
+    off_flat = offset.reshape(B, Hs * Ws, 2)
+    sz_flat = size.reshape(B, Hs * Ws, 2)
+    off = jnp.take_along_axis(off_flat, pix[..., None], axis=1)  # (B, K, 2)
+    sz = jnp.take_along_axis(sz_flat, pix[..., None], axis=1)
+
+    cx = (px + off[..., 0]) * stride
+    cy = (py + off[..., 1]) * stride
+    w = sz[..., 0] * stride
+    h = sz[..., 1] * stride
+
+    boxes = jnp.stack([cx - w * 0.5, cy - h * 0.5, cx + w * 0.5, cy + h * 0.5], -1)
+    return Detections(boxes, scores, cls)
+
+
+def semseg_argmax(logits: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) logits → (B, H, W) int32 class map."""
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def colorize_semseg(class_map: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) int class map + (C, 3) uint8 palette → (..., H, W, 3) RGB.
+
+    Device-side equivalent of the reference's host argmax+colorize
+    (SURVEY.md §1 L6) — a single LUT gather.
+    """
+    return jnp.take(palette, class_map, axis=0)
+
+
+def upsample_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear upsample (B, h, w, C) → (B, H, W, C), half-pixel centers.
+
+    Used for the depth head's full-resolution output (SURVEY.md §1 L6).
+    """
+    from cvm_tpu.ops.image import full_roi, sample_bilinear
+
+    roi = full_roi(x.shape[1], x.shape[2], out_hw[0], out_hw[1])
+    return jax.vmap(lambda im: sample_bilinear(im, roi, out_hw))(x)

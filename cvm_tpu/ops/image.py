@@ -1,0 +1,316 @@
+"""Fused device-side image resampling: letterbox / crop / flip in one gather.
+
+Replaces the reference's host-side OpenCV per-sample loop (cv2.imdecode →
+letterbox resize → augment → normalize; SURVEY.md §1 L3, §3.1) with a single
+XLA-friendly separable bilinear gather that runs on device, after the raw RGB
+tensor has been transferred once.
+
+Geometry convention (matches cv2.resize INTER_LINEAR):
+    src = (dst + 0.5) * (src_extent / dst_extent) - 0.5 + src_origin
+with border-replicate clamping. cv2 computes this in 11-bit fixed point on
+uint8, so agreement with cv2 is within ~1 LSB on the 0..255 scale; agreement
+with an exact float oracle of the same formula is ~1e-5 (see
+tests/test_image_ops.py).
+
+Everything here takes *runtime* (traced) source sizes and ROIs against a
+*static* padded buffer, so one compiled program serves every input resolution:
+images are host-padded to (Hmax, Wmax) and the valid (h, w) travels as scalars.
+
+The ROI abstraction unifies the whole geometric pipeline:
+  - plain resize           = ROI covering [0,h)x[0,w)
+  - letterbox              = plain resize + out-of-region pad mask
+  - random crop/zoom aug   = ROI being a jittered sub-window
+  - horizontal flip        = x-axis mirrored ROI
+so preprocessing + geometric augmentation fuse into ONE resample (one pass
+over HBM) instead of the reference's chain of cv2 calls.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Roi(NamedTuple):
+    """A source-image region mapped onto an output-canvas region.
+
+    All fields are float scalars (possibly traced).
+
+    src_y0/src_x0/src_h/src_w : source window in input-pixel units.
+    dst_y0/dst_x0/dst_h/dst_w : destination window in output-pixel units;
+        output pixels outside the destination window are filled with
+        ``pad_value`` (this is how letterbox bars appear).
+    flip_x : bool scalar; mirrors the source window horizontally.
+    """
+
+    src_y0: jnp.ndarray
+    src_x0: jnp.ndarray
+    src_h: jnp.ndarray
+    src_w: jnp.ndarray
+    dst_y0: jnp.ndarray
+    dst_x0: jnp.ndarray
+    dst_h: jnp.ndarray
+    dst_w: jnp.ndarray
+    flip_x: jnp.ndarray
+
+    @property
+    def scale_y(self):
+        return self.dst_h / self.src_h
+
+    @property
+    def scale_x(self):
+        return self.dst_w / self.src_w
+
+
+def _f(x):
+    return jnp.asarray(x, jnp.float32)
+
+
+def full_roi(h, w, out_h: int, out_w: int) -> Roi:
+    """ROI for a plain (aspect-distorting) resize of the whole image."""
+    z = _f(0.0)
+    return Roi(z, z, _f(h), _f(w), z, z, _f(out_h), _f(out_w), jnp.asarray(False))
+
+
+def letterbox_roi(h, w, out_h: int, out_w: int, flip_x=False) -> Roi:
+    """Aspect-preserving fit of an (h, w) image into an (out_h, out_w) canvas.
+
+    Mirrors the reference's shared ROI/letterbox helper (SURVEY.md §2 "Shared
+    image ops"): scale = min(out/in), centered, with pad bars. The returned
+    Roi carries the scale+offset bookkeeping needed to map labels into the
+    letterboxed frame.
+    """
+    h = _f(h)
+    w = _f(w)
+    scale = jnp.minimum(_f(out_h) / h, _f(out_w) / w)
+    new_h = jnp.round(h * scale)
+    new_w = jnp.round(w * scale)
+    dst_y0 = jnp.floor((_f(out_h) - new_h) * 0.5)
+    dst_x0 = jnp.floor((_f(out_w) - new_w) * 0.5)
+    z = _f(0.0)
+    return Roi(z, z, h, w, dst_y0, dst_x0, new_h, new_w, jnp.asarray(flip_x))
+
+
+def jittered_roi(
+    key: jax.Array,
+    h,
+    w,
+    out_h: int,
+    out_w: int,
+    scale_range: Tuple[float, float] = (0.6, 1.4),
+    shift_frac: float = 0.1,
+    flip_prob: float = 0.5,
+) -> Roi:
+    """Random zoom/shift/flip ROI for training augmentation.
+
+    Fuses the reference's geometric augmentation (random scale + translation +
+    horizontal flip applied to image AND labels; SURVEY.md §2 "Augmentation")
+    into the same single resample as the letterbox. The sampled window keeps
+    the output aspect ratio so no distortion is introduced.
+    """
+    k_s, k_y, k_x, k_f = jax.random.split(key, 4)
+    h = _f(h)
+    w = _f(w)
+    base = jnp.minimum(h / out_h, w / out_w)  # src px per dst px at fit
+    zoom = jax.random.uniform(k_s, (), jnp.float32, scale_range[0], scale_range[1])
+    src_h = out_h * base / zoom
+    src_w = out_w * base / zoom
+    cy = h * 0.5 + jax.random.uniform(k_y, (), jnp.float32, -shift_frac, shift_frac) * h
+    cx = w * 0.5 + jax.random.uniform(k_x, (), jnp.float32, -shift_frac, shift_frac) * w
+    z = _f(0.0)
+    return Roi(
+        cy - src_h * 0.5,
+        cx - src_w * 0.5,
+        src_h,
+        src_w,
+        z,
+        z,
+        _f(out_h),
+        _f(out_w),
+        jax.random.bernoulli(k_f, flip_prob),
+    )
+
+
+def _axis_coords(out_size: int, dst0, dst_len, src0, src_len, valid_hi, flip=None):
+    """Per-axis bilinear gather plan: (idx_lo, idx_hi, frac, in_dst_window)."""
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    t = (i - dst0 + 0.5) / dst_len  # 0..1 across the dst window
+    if flip is not None:
+        t = jnp.where(flip, 1.0 - t, t)
+    src = t * src_len - 0.5 + src0
+    lo = jnp.floor(src)
+    frac = src - lo
+    lo_i = lo.astype(jnp.int32)
+    hi = jnp.clip(valid_hi - 1, 0, None)
+    idx_lo = jnp.clip(lo_i, 0, hi)
+    idx_hi = jnp.clip(lo_i + 1, 0, hi)
+    inside = (i >= dst0) & (i < dst0 + dst_len)
+    return idx_lo, idx_hi, frac, inside
+
+
+def sample_bilinear(
+    image: jnp.ndarray,
+    roi: Roi,
+    out_hw: Tuple[int, int],
+    valid_hw=None,
+    pad_value: float = 0.0,
+) -> jnp.ndarray:
+    """Separable bilinear resample of ``image`` through ``roi``.
+
+    image     : (H, W, C) any float/int dtype; computed in float32.
+    valid_hw  : (h, w) valid extent when ``image`` is a host-padded buffer;
+                defaults to the full static shape. Samples are clamped to the
+                valid region (border replicate), so pad garbage is never read.
+    returns   : (out_h, out_w, C) float32.
+    """
+    out_h, out_w = out_hw
+    H, W = image.shape[0], image.shape[1]
+    vh, vw = (H, W) if valid_hw is None else valid_hw
+    img = image.astype(jnp.float32)
+
+    ylo, yhi, fy, in_y = _axis_coords(out_h, roi.dst_y0, roi.dst_h, roi.src_y0, roi.src_h, vh)
+    xlo, xhi, fx, in_x = _axis_coords(
+        out_w, roi.dst_x0, roi.dst_w, roi.src_x0, roi.src_w, vw, flip=roi.flip_x
+    )
+
+    # Rows first (gather along H), then columns.
+    rows_lo = jnp.take(img, ylo, axis=0)
+    rows_hi = jnp.take(img, yhi, axis=0)
+    rows = rows_lo + (rows_hi - rows_lo) * fy[:, None, None]
+    cols_lo = jnp.take(rows, xlo, axis=1)
+    cols_hi = jnp.take(rows, xhi, axis=1)
+    out = cols_lo + (cols_hi - cols_lo) * fx[None, :, None]
+
+    inside = in_y[:, None] & in_x[None, :]
+    return jnp.where(inside[:, :, None], out, jnp.float32(pad_value))
+
+
+def sample_nearest(
+    image: jnp.ndarray,
+    roi: Roi,
+    out_hw: Tuple[int, int],
+    valid_hw=None,
+    pad_value=0,
+) -> jnp.ndarray:
+    """Nearest-neighbor resample through ``roi`` (for masks / sparse depth).
+
+    Uses half-pixel-aligned rounding so mask geometry matches the bilinear
+    image path exactly (deliberate deviation from cv2's asymmetric
+    INTER_NEAREST truncation; documented in tests).
+    """
+    out_h, out_w = out_hw
+    H, W = image.shape[0], image.shape[1]
+    vh, vw = (H, W) if valid_hw is None else valid_hw
+
+    ylo, yhi, fy, in_y = _axis_coords(out_h, roi.dst_y0, roi.dst_h, roi.src_y0, roi.src_h, vh)
+    xlo, xhi, fx, in_x = _axis_coords(
+        out_w, roi.dst_x0, roi.dst_w, roi.src_x0, roi.src_w, vw, flip=roi.flip_x
+    )
+    yi = jnp.where(fy < 0.5, ylo, yhi)
+    xi = jnp.where(fx < 0.5, xlo, xhi)
+    rows = jnp.take(image, yi, axis=0)
+    out = jnp.take(rows, xi, axis=1)
+    inside = in_y[:, None] & in_x[None, :]
+    if out.ndim == 3:
+        inside = inside[:, :, None]
+    return jnp.where(inside, out, jnp.asarray(pad_value, image.dtype))
+
+
+def letterbox(image, h, w, out_hw: Tuple[int, int], pad_value: float = 0.0):
+    """Convenience: letterbox-resize a padded buffer. Returns (image, roi)."""
+    roi = letterbox_roi(h, w, out_hw[0], out_hw[1])
+    return sample_bilinear(image, roi, out_hw, valid_hw=(h, w), pad_value=pad_value), roi
+
+
+# ---------------------------------------------------------------------------
+# Label geometry: map points/boxes from input-image coords to output coords.
+# ---------------------------------------------------------------------------
+
+
+def map_points_to_output(points: jnp.ndarray, roi: Roi, out_w=None) -> jnp.ndarray:
+    """Map (..., 2) [x, y] points in source-image coords through ``roi``.
+
+    Inverse of the sampling map: x_out = (x_src - src_x0) * sx + dst_x0,
+    with horizontal mirroring when roi.flip_x. ``out_w`` (static) is required
+    to mirror flipped points correctly.
+    """
+    x, y = points[..., 0], points[..., 1]
+    sx = roi.scale_x
+    sy = roi.scale_y
+    xo = (x - roi.src_x0) * sx + roi.dst_x0
+    yo = (y - roi.src_y0) * sy + roi.dst_y0
+    if out_w is not None:
+        # Mirror around the dst window: x' = dst_x0 + (dst_w - (x - dst_x0))
+        xflip = 2.0 * roi.dst_x0 + roi.dst_w - xo
+        xo = jnp.where(roi.flip_x, xflip, xo)
+    return jnp.stack([xo, yo], axis=-1)
+
+
+def map_boxes_to_output(boxes: jnp.ndarray, roi: Roi, out_w: int) -> jnp.ndarray:
+    """Map (..., 4) [x0, y0, x1, y1] boxes through ``roi`` (handles flip)."""
+    p0 = map_points_to_output(boxes[..., 0:2], roi, out_w)
+    p1 = map_points_to_output(boxes[..., 2:4], roi, out_w)
+    x0 = jnp.minimum(p0[..., 0], p1[..., 0])
+    x1 = jnp.maximum(p0[..., 0], p1[..., 0])
+    y0 = jnp.minimum(p0[..., 1], p1[..., 1])
+    y1 = jnp.maximum(p0[..., 1], p1[..., 1])
+    return jnp.stack([x0, y0, x1, y1], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Photometric augmentation + normalization (pure VPU work; fuses into the
+# resample output under jit).
+# ---------------------------------------------------------------------------
+
+IMAGENET_MEAN = (0.485 * 255.0, 0.456 * 255.0, 0.406 * 255.0)
+IMAGENET_STD = (0.229 * 255.0, 0.224 * 255.0, 0.225 * 255.0)
+
+
+def photometric_augment(
+    key: jax.Array,
+    image: jnp.ndarray,
+    brightness: float = 0.2,
+    contrast: float = 0.2,
+    saturation: float = 0.2,
+    hue: float = 0.05,
+) -> jnp.ndarray:
+    """Random brightness/contrast/saturation/hue on a 0..255 float image.
+
+    Device-side equivalent of the reference's imgaug/cv2 photometric chain
+    (SURVEY.md §2 "Augmentation"). Hue is applied as a cheap RGB channel
+    rotation blend (avoids HSV round-trip; adequate for training jitter).
+    """
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    img = image.astype(jnp.float32)
+
+    b = jax.random.uniform(kb, (), jnp.float32, -brightness, brightness) * 255.0
+    img = img + b
+
+    c = 1.0 + jax.random.uniform(kc, (), jnp.float32, -contrast, contrast)
+    img = (img - 127.5) * c + 127.5
+
+    gray = (
+        0.299 * img[..., 0:1] + 0.587 * img[..., 1:2] + 0.114 * img[..., 2:3]
+    )
+    s = 1.0 + jax.random.uniform(ks, (), jnp.float32, -saturation, saturation)
+    img = gray + (img - gray) * s
+
+    hshift = jax.random.uniform(kh, (), jnp.float32, -hue, hue)
+    rotated = jnp.roll(img, 1, axis=-1)
+    img = img * (1.0 - jnp.abs(hshift)) + rotated * jnp.abs(hshift)
+
+    return jnp.clip(img, 0.0, 255.0)
+
+
+def normalize_imagenet(image: jnp.ndarray) -> jnp.ndarray:
+    """(x - mean) / std with ImageNet stats on the 0..255 scale."""
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (image.astype(jnp.float32) - mean) / std
+
+
+def normalize_pm1(image: jnp.ndarray) -> jnp.ndarray:
+    """Scale 0..255 → [-1, 1] (the reference's edge-friendly normalization)."""
+    return image.astype(jnp.float32) / 127.5 - 1.0

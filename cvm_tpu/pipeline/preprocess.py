@@ -1,0 +1,83 @@
+"""Shared device-side batch preprocessing (the fused L3 path).
+
+The reference runs JPEG decode → letterbox → augment → normalize → GT render
+per sample in host Python/OpenCV (SURVEY.md §3.1 HOT LOOP). Here the host
+only delivers padded raw RGB batches (see cvm_tpu.data.loader); everything
+from letterbox onward is one jitted, batch-vmapped device program, so the
+whole per-sample path fuses into a handful of XLA kernels.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cvm_tpu.ops.image import (
+    Roi,
+    jittered_roi,
+    letterbox_roi,
+    normalize_pm1,
+    photometric_augment,
+    sample_bilinear,
+)
+
+
+class AugConfig(NamedTuple):
+    scale_range: Tuple[float, float] = (0.6, 1.4)
+    shift_frac: float = 0.1
+    flip_prob: float = 0.5
+    brightness: float = 0.2
+    contrast: float = 0.2
+    saturation: float = 0.2
+    hue: float = 0.05
+
+
+def make_rois(
+    key: Optional[jax.Array],
+    image_hw: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    train: bool,
+    aug: AugConfig,
+) -> Roi:
+    """Batched Roi (leaves have leading B axis). Eval → letterbox fit."""
+    B = image_hw.shape[0]
+    if train:
+        keys = jax.random.split(key, B)
+        return jax.vmap(
+            lambda k, hw: jittered_roi(
+                k, hw[0], hw[1], out_hw[0], out_hw[1],
+                aug.scale_range, aug.shift_frac, aug.flip_prob,
+            )
+        )(keys, image_hw)
+    return jax.vmap(lambda hw: letterbox_roi(hw[0], hw[1], out_hw[0], out_hw[1]))(image_hw)
+
+
+def preprocess_image_batch(
+    key: Optional[jax.Array],
+    images: jnp.ndarray,
+    image_hw: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    train: bool,
+    aug: AugConfig = AugConfig(),
+) -> Tuple[jnp.ndarray, Roi]:
+    """(B, Hmax, Wmax, 3) uint8 + valid sizes → (B, H, W, 3) pm1 float, rois."""
+    if train:
+        key_roi, key_photo = jax.random.split(key)
+    else:
+        key_roi = key_photo = None
+    rois = make_rois(key_roi, image_hw, out_hw, train, aug)
+
+    def one(img, hw, roi):
+        return sample_bilinear(img, roi, out_hw, valid_hw=(hw[0], hw[1]), pad_value=0.0)
+
+    out = jax.vmap(one)(images, image_hw, rois)
+    if train:
+        pkeys = jax.random.split(key_photo, images.shape[0])
+        out = jax.vmap(
+            lambda k, im: photometric_augment(
+                k, im, aug.brightness, aug.contrast, aug.saturation, aug.hue
+            )
+        )(pkeys, out)
+    return normalize_pm1(out), rois

@@ -1,0 +1,64 @@
+"""Typed per-model config with CLI overrides (SURVEY.md §5 "Config/flag system").
+
+The reference's per-model ``Params`` class is the config; here it is a
+dataclass with ``from_cli`` overrides (``--field value``) and dict round-trip
+for checkpoint metadata.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional, Sequence, Tuple, get_args, get_origin
+
+
+@dataclasses.dataclass
+class BaseParams:
+    name: str = "base"
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "BaseParams":
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in fields:
+                continue
+            t = fields[k].type
+            if isinstance(v, list) and (get_origin(t) is tuple or "Tuple" in str(t)):
+                v = tuple(v)
+            kwargs[k] = v
+        return cls(**kwargs)
+
+    def replace(self, **kw) -> "BaseParams":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_cli(cls, argv: Optional[Sequence[str]] = None) -> "BaseParams":
+        """Build from CLI flags: every dataclass field becomes ``--field``."""
+        parser = argparse.ArgumentParser(description=cls.__doc__)
+        for f in dataclasses.fields(cls):
+            t = f.type
+            default = getattr(cls, f.name, f.default)
+            origin = get_origin(t)
+            if t in (int, float, str, "int", "float", "str"):
+                typ = {"int": int, "float": float, "str": str}.get(t, t)
+                parser.add_argument(f"--{f.name}", type=typ, default=default)
+            elif t in (bool, "bool"):
+                parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"), default=default)
+            elif origin is tuple or "Tuple" in str(t):
+                parser.add_argument(
+                    f"--{f.name}",
+                    type=lambda s: tuple(json.loads(s) if s.startswith("[") else map(float, s.split(","))),
+                    default=default,
+                )
+            else:
+                parser.add_argument(f"--{f.name}", type=str, default=default)
+        ns = parser.parse_args(argv)
+        return cls(**vars(ns))

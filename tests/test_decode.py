@@ -1,0 +1,72 @@
+"""Detection decode: GT render → decode roundtrip recovers the boxes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvm_tpu.ops.decode import (
+    colorize_semseg,
+    decode_centernet,
+    semseg_argmax,
+    upsample_bilinear,
+)
+from cvm_tpu.ops.heatmap import render_centernet_targets
+
+
+def test_decode_roundtrip_recovers_gt_boxes(rng):
+    """Render perfect GT maps, decode them, expect the original boxes back."""
+    Hs, Ws, C, stride = 32, 32, 3, 4
+    boxes = np.array(
+        [[2.0, 3.0, 12.0, 13.0], [18.25, 20.5, 28.75, 30.0], [5.0, 20.0, 11.0, 30.0]],
+        np.float32,
+    )
+    classes = np.array([0, 2, 1], np.int32)
+    K = 8
+    b = np.zeros((K, 4), np.float32)
+    c = np.zeros(K, np.int32)
+    v = np.zeros(K, bool)
+    b[:3], c[:3], v[:3] = boxes, classes, True
+
+    t = render_centernet_targets(jnp.asarray(b), jnp.asarray(c), jnp.asarray(v), (Hs, Ws), C)
+    det = decode_centernet(
+        t.heatmap[None], t.offset[None], t.size[None], stride=stride, top_k=10, from_logits=False
+    )
+    scores = np.asarray(det.scores[0])
+    got_boxes = np.asarray(det.boxes[0])[scores > 0.9]
+    got_cls = np.asarray(det.classes[0])[scores > 0.9]
+    assert len(got_boxes) == 3
+    # Match each GT box (input-pixel coords = output coords * stride).
+    want = boxes * stride
+    order = np.argsort(got_boxes[:, 0])
+    worder = np.argsort(want[:, 0])
+    np.testing.assert_allclose(got_boxes[order], want[worder], atol=1e-3)
+    assert set(got_cls.tolist()) == set(classes.tolist())
+
+
+def test_decode_peak_suppression():
+    """A plateau of equal scores still yields peaks, not a dense blob."""
+    hm = jnp.zeros((1, 16, 16, 1)).at[0, 8, 8, 0].set(1.0).at[0, 8, 9, 0].set(0.6)
+    off = jnp.zeros((1, 16, 16, 2))
+    sz = jnp.ones((1, 16, 16, 2))
+    det = decode_centernet(hm, off, sz, stride=4, top_k=5, from_logits=False)
+    s = np.asarray(det.scores[0])
+    assert s[0] == 1.0
+    assert (s[1:] <= 0.0).all()  # 0.6 neighbor suppressed by 3x3 pool
+
+
+def test_semseg_argmax_and_colorize():
+    logits = jnp.zeros((1, 4, 4, 3)).at[0, :, :, 1].set(5.0)
+    cm = semseg_argmax(logits)
+    assert (np.asarray(cm) == 1).all()
+    pal = jnp.asarray([[0, 0, 0], [255, 0, 0], [0, 255, 0]], jnp.uint8)
+    rgb = colorize_semseg(cm, pal)
+    assert rgb.shape == (1, 4, 4, 3)
+    assert (np.asarray(rgb)[..., 0] == 255).all()
+
+
+def test_upsample_bilinear_shapes_and_values():
+    x = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    up = upsample_bilinear(x, (8, 8))
+    assert up.shape == (1, 8, 8, 1)
+    # mean preserved by bilinear half-pixel upsampling of smooth data
+    assert abs(float(up.mean()) - float(x.mean())) < 0.3
