@@ -1,0 +1,118 @@
+"""Inference entry point: run a trained checkpoint on images or records.
+
+Mirrors the reference's per-model inference.py scripts (SURVEY.md §3.2);
+decode runs on device, results print as JSONL (or render to PNGs with
+--visualize, the OpenCV-drawing analogue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--checkpoint_dir", required=True)
+    parser.add_argument("--images", default=None, help="glob of image files")
+    parser.add_argument("--records", default=None, help=".cvrec glob")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--max_batches", type=int, default=None)
+    parser.add_argument("--score_threshold", type=float, default=0.3)
+    parser.add_argument("--visualize", default=None, help="output dir for rendered PNGs")
+    args = parser.parse_args(argv)
+
+    from cvm_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    import jax
+
+    from cvm_tpu.models import get_model
+    from cvm_tpu.infer.pipeline import InferencePipeline
+    from cvm_tpu.train.checkpoints import CheckpointManager, load_params_cfg
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model(args.model)
+    cfg = load_params_cfg(args.checkpoint_dir, spec.params_cls)
+
+    trainer = Trainer(spec, cfg, checkpoint_dir=args.checkpoint_dir)
+    pad_hw = (int(cfg.input_hw[0] * 1.5), int(cfg.input_hw[1] * 1.5))
+
+    def batches():
+        if args.images:
+            from cvm_tpu.native import decode_jpeg_batch
+            from cvm_tpu.data.adapters.common import read_image_as_jpeg
+
+            files = sorted(glob.glob(args.images))
+            for s in range(0, len(files), args.batch_size):
+                chunk = files[s : s + args.batch_size]
+                jpegs = [read_image_as_jpeg(f)[0] for f in chunk]
+                img, hw = decode_jpeg_batch(jpegs, *pad_hw)
+                yield chunk, {"image": img, "image_hw": hw}
+        elif args.records:
+            from cvm_tpu.data.loader import RecordLoader
+            from cvm_tpu.data.records import RecordDataset
+
+            ds = RecordDataset([args.records])
+            loader = RecordLoader(ds, args.batch_size, pad_hw, shuffle=False, loop=False)
+            for i, b in enumerate(iter(loader)):
+                yield [f"rec{i * args.batch_size + j}" for j in range(args.batch_size)], b
+        else:
+            parser.error("need --images or --records")
+
+    gen = batches()
+    names, first = next(gen)
+    trainer.init_state(first)
+    variables = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
+    pipe = InferencePipeline(spec, cfg, variables, mesh=trainer.mesh)
+
+    if args.visualize:
+        os.makedirs(args.visualize, exist_ok=True)
+
+    def handle(names, batch, out):
+        for i, name in enumerate(names):
+            if i >= batch["image"].shape[0]:
+                break
+            rec = {"input": os.path.basename(str(name))}
+            if "boxes" in out:
+                keep = np.asarray(out["scores"][i]) >= args.score_threshold
+                rec["boxes"] = np.asarray(out["boxes"][i])[keep].tolist()
+                rec["scores"] = np.asarray(out["scores"][i])[keep].tolist()
+                rec["classes"] = np.asarray(out["classes"][i])[keep].tolist()
+            if "class_map" in out:
+                cm = np.asarray(out["class_map"][i])
+                rec["class_histogram"] = np.bincount(cm.reshape(-1), minlength=1).tolist()
+            if "depth" in out:
+                d = np.asarray(out["depth"][i])
+                rec["depth_mean"] = float(d.mean())
+            print(json.dumps(rec), flush=True)
+            if args.visualize:
+                from cvm_tpu.infer.visualize import render_sample
+
+                render_sample(
+                    os.path.join(args.visualize, f"{os.path.basename(str(name))}.png"),
+                    batch["image"][i], batch["image_hw"][i],
+                    {k: np.asarray(v[i]) for k, v in out.items()},
+                    args.score_threshold,
+                )
+
+    n = 0
+    handle(names, first, pipe(first))
+    n += 1
+    for names, batch in gen:
+        if args.max_batches is not None and n >= args.max_batches:
+            break
+        handle(names, batch, pipe(batch))
+        n += 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

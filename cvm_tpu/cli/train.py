@@ -1,0 +1,82 @@
+"""Training entry point: ``python -m cvm_tpu.cli.train --model centernet ...``.
+
+Mirrors the reference's per-model train.py UX (``python -m models.<name>.train``,
+SURVEY.md §2 "Training entry") with one registry-driven CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", required=True, help="zoo name: centernet|semseg|depth|multitask|dmds")
+    parser.add_argument("--data", default="synthetic", help="'synthetic' or .cvrec glob")
+    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--workdir", default="runs/default")
+    parser.add_argument("--checkpoint_every", type=int, default=1000)
+    parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument("--pad_hw", default=None, help="loader pad size 'H,W' (default: 1.5x input)")
+    parser.add_argument("--seed", type=int, default=0)
+    args, overrides = parser.parse_known_args(argv)
+
+    from cvm_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model(args.model)
+    cfg = spec.params_cls.from_cli(overrides)
+
+    if args.pad_hw:
+        pad_hw = tuple(int(x) for x in args.pad_hw.split(","))
+    else:
+        pad_hw = (int(cfg.input_hw[0] * 1.5), int(cfg.input_hw[1] * 1.5))
+
+    trainer = Trainer(
+        spec,
+        cfg,
+        checkpoint_dir=f"{args.workdir}/checkpoints",
+        metrics_path=f"{args.workdir}/metrics.jsonl",
+        checkpoint_every=args.checkpoint_every,
+        log_every=args.log_every,
+        seed=args.seed,
+    )
+
+    if args.data == "synthetic":
+        from cvm_tpu.data.synthetic import synthetic_iterator
+
+        nc = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 3))
+        it = synthetic_iterator(
+            args.seed, cfg.batch_size, pad_hw, num_classes=min(nc, 10),
+            two_frame=(args.model == "dmds"),
+        )
+    else:
+        from cvm_tpu.data.loader import RecordLoader
+        from cvm_tpu.data.records import RecordDataset
+
+        ds = RecordDataset([args.data])
+        train_ids, _ = ds.split_ids()
+        loader = RecordLoader(
+            ds, cfg.batch_size, pad_hw, ids=train_ids,
+            max_objects=getattr(cfg, "max_objects", 128), seed=args.seed,
+        )
+        it = iter(loader)
+
+    sample = next(it)
+    trainer.init_state(sample)
+    print(f"[cvm_tpu] model={args.model} devices={jax.device_count()} "
+          f"start_step={int(trainer.state.step)}", flush=True)
+    metrics = trainer.fit(it, args.steps)
+    print(f"[cvm_tpu] done: {metrics}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

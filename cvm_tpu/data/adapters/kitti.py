@@ -1,0 +1,133 @@
+"""KITTI adapters: 2D/3D object detection + sparse depth → `.cvrec`.
+
+Reference: data/kitti upload script (SURVEY.md §2). Covers:
+- object detection: image_2/*.png + label_2/*.txt (+ optional calib P2 for
+  intrinsics and 3D targets),
+- depth completion/prediction: raw images + proj_depth uint16 PNGs
+  (depth = png / 256, the KITTI convention).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from cvm_tpu.data.adapters.common import load_png_u16, read_image_as_jpeg
+from cvm_tpu.data.records import RecordWriter
+
+# KITTI class → contiguous id (the reference's OD_CLASS_MAPPING analogue).
+KITTI_CLASSES = ("Car", "Van", "Truck", "Pedestrian", "Person_sitting", "Cyclist", "Tram")
+_KITTI_MAP = {n: i for i, n in enumerate(KITTI_CLASSES)}
+
+
+def _parse_label_file(path: str) -> List[dict]:
+    objs = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0] in ("DontCare", "Misc"):
+                continue
+            if parts[0] not in _KITTI_MAP:
+                continue
+            objs.append(
+                {
+                    "cls": _KITTI_MAP[parts[0]],
+                    "truncated": float(parts[1]),
+                    "occluded": int(parts[2]),
+                    "bbox": [float(x) for x in parts[4:8]],  # l, t, r, b
+                    "dims": [float(x) for x in parts[8:11]],  # h, w, l
+                    "loc": [float(x) for x in parts[11:14]],  # x, y, z (cam)
+                    "rot_y": float(parts[14]),
+                }
+            )
+    return objs
+
+
+def _parse_calib_p2(path: str) -> Optional[List[float]]:
+    """P2 projection → [fx, fy, cx, cy]."""
+    try:
+        with open(path) as f:
+            for line in f:
+                if line.startswith("P2:"):
+                    v = [float(x) for x in line.split()[1:]]
+                    return [v[0], v[5], v[2], v[6]]
+    except OSError:
+        return None
+    return None
+
+
+def pack_kitti_object(
+    src_dir: str,
+    out_path: str,
+    split: str = "training",
+    max_images: Optional[int] = None,
+    with_3d: bool = True,
+) -> Dict[str, int]:
+    """src_dir: KITTI object root with <split>/{image_2, label_2, calib}."""
+    img_dir = os.path.join(src_dir, split, "image_2")
+    lbl_dir = os.path.join(src_dir, split, "label_2")
+    cal_dir = os.path.join(src_dir, split, "calib")
+    frames = sorted(
+        os.path.splitext(os.path.basename(p))[0] for p in glob.glob(os.path.join(img_dir, "*.png"))
+    )
+    n = 0
+    with RecordWriter(out_path) as w:
+        for fid in frames:
+            if max_images is not None and n >= max_images:
+                break
+            jpeg, h, wd = read_image_as_jpeg(os.path.join(img_dir, f"{fid}.png"))
+            objs = _parse_label_file(os.path.join(lbl_dir, f"{fid}.txt"))
+            meta = {
+                "id": fid,
+                "height": h,
+                "width": wd,
+                "boxes": [o["bbox"] for o in objs],
+                "classes": [o["cls"] for o in objs],
+            }
+            if with_3d and objs:
+                meta["dims3d"] = [o["dims"] for o in objs]
+                meta["loc3d"] = [o["loc"] for o in objs]
+                meta["rot_y"] = [o["rot_y"] for o in objs]
+            intr = _parse_calib_p2(os.path.join(cal_dir, f"{fid}.txt"))
+            if intr is not None:
+                meta["intrinsics"] = intr
+            w.write(meta, {"jpeg": jpeg})
+            n += 1
+    with open(out_path + ".meta.json", "w") as f:
+        json.dump({"classes": list(KITTI_CLASSES), "num_records": n}, f)
+    return {"written": n, "num_classes": len(KITTI_CLASSES)}
+
+
+def pack_kitti_depth(
+    image_dir: str,
+    depth_dir: str,
+    out_path: str,
+    max_images: Optional[int] = None,
+) -> Dict[str, int]:
+    """Pairs images with uint16 depth PNGs by matching relative filename."""
+    depth_files = sorted(glob.glob(os.path.join(depth_dir, "**", "*.png"), recursive=True))
+    n = 0
+    with RecordWriter(out_path) as w:
+        for dpath in depth_files:
+            if max_images is not None and n >= max_images:
+                break
+            rel = os.path.relpath(dpath, depth_dir)
+            ipath = os.path.join(image_dir, rel)
+            if not os.path.exists(ipath):
+                base = os.path.basename(dpath)
+                hits = glob.glob(os.path.join(image_dir, "**", base), recursive=True)
+                if not hits:
+                    continue
+                ipath = hits[0]
+            jpeg, h, wd = read_image_as_jpeg(ipath)
+            depth_u16 = load_png_u16(dpath)
+            w.write(
+                {"id": rel, "height": h, "width": wd},
+                {"jpeg": jpeg, "depth": depth_u16.astype(np.uint16)},
+            )
+            n += 1
+    return {"written": n}

@@ -1,0 +1,228 @@
+"""Host input pipeline: record shards → decoded padded batches → device.
+
+The reference's `MongoDBGenerator` (keras Sequence paging Mongo + per-sample
+Python processing, SURVEY.md §2) becomes: `.cvrec` shard reader → native
+(C++/libjpeg) batch JPEG decode straight into padded static buffers →
+background-thread batch assembly → **double-buffered device prefetch**
+(`prefetch_to_device`), so the accelerator never waits on the host
+(BASELINE north-star "double-buffered device batches"). All per-pixel work
+after decode happens on device in the model processors.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cvm_tpu.data.records import RecordDataset
+from cvm_tpu.native import decode_jpeg_batch
+
+
+# Label keys each task expects; missing labels are filled with empty defaults
+# so one loader serves every zoo model.
+_MAX_OBJECTS_DEFAULT = 128
+
+
+def _assemble_labels(
+    metas: List[Dict[str, Any]],
+    blobs: List[Dict[str, Any]],
+    pad_hw: Tuple[int, int],
+    max_objects: int,
+) -> Dict[str, np.ndarray]:
+    B = len(metas)
+    Hm, Wm = pad_hw
+    out: Dict[str, np.ndarray] = {}
+
+    boxes = np.zeros((B, max_objects, 4), np.float32)
+    classes = np.zeros((B, max_objects), np.int32)
+    nobj = np.zeros((B,), np.int32)
+    any_boxes = False
+    for i, m in enumerate(metas):
+        bx = m.get("boxes")
+        if bx:
+            any_boxes = True
+            n = min(len(bx), max_objects)
+            boxes[i, :n] = np.asarray(bx[:n], np.float32)
+            cl = m.get("classes", [0] * n)
+            classes[i, :n] = np.asarray(cl[:n], np.int32)
+            nobj[i] = n
+    if any_boxes:
+        out["boxes"] = boxes
+        out["classes"] = classes
+        out["num_objects"] = nobj
+
+    if any("mask" in b for b in blobs):
+        mask = np.zeros((B, Hm, Wm), np.uint8)
+        for i, b in enumerate(blobs):
+            if "mask" in b:
+                m = b["mask"]
+                mask[i, : m.shape[0], : m.shape[1]] = m
+        out["mask"] = mask
+
+    if any("depth" in b for b in blobs):
+        depth = np.zeros((B, Hm, Wm), np.float32)
+        for i, b in enumerate(blobs):
+            if "depth" in b:
+                d = b["depth"]
+                if d.dtype == np.uint16:  # KITTI png convention: depth*256
+                    d = d.astype(np.float32) / 256.0
+                depth[i, : d.shape[0], : d.shape[1]] = d
+        out["depth"] = depth
+
+    if any("intrinsics" in m for m in metas):
+        intr = np.zeros((B, 4), np.float32)
+        for i, m in enumerate(metas):
+            intr[i] = np.asarray(m.get("intrinsics", [1.0, 1.0, 0.0, 0.0]), np.float32)
+        out["intrinsics"] = intr
+    return out
+
+
+class RecordLoader:
+    """Iterates shuffled batches from record shards, decode + pad on host."""
+
+    def __init__(
+        self,
+        dataset: RecordDataset,
+        batch_size: int,
+        pad_hw: Tuple[int, int],
+        ids: Optional[Sequence[int]] = None,
+        max_objects: int = _MAX_OBJECTS_DEFAULT,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_decode_threads: int = 4,
+        prefetch_batches: int = 2,
+        drop_remainder: bool = True,
+        loop: bool = True,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.pad_hw = pad_hw
+        self.ids = list(ids) if ids is not None else list(range(len(dataset)))
+        self.max_objects = max_objects
+        self.shuffle = shuffle
+        self.seed = seed
+        self.threads = num_decode_threads
+        self.prefetch = prefetch_batches
+        self.drop_remainder = drop_remainder
+        self.loop = loop
+
+    def _make_batch(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
+        metas, blobs, jpegs, raws = [], [], [], []
+        for i in idxs:
+            meta, blob = self.ds.get(int(i))
+            metas.append(meta)
+            blobs.append(blob)
+            jpegs.append(blob.get("jpeg"))
+            raws.append(blob.get("image"))
+
+        Hm, Wm = self.pad_hw
+        B = len(idxs)
+        images = np.zeros((B, Hm, Wm, 3), np.uint8)
+        hw = np.ones((B, 2), np.int32)
+        to_decode = [(i, j) for i, j in enumerate(jpegs) if j is not None]
+        if to_decode:
+            dec, dec_hw = decode_jpeg_batch(
+                [j for _, j in to_decode], Hm, Wm, self.threads
+            )
+            for k, (i, _) in enumerate(to_decode):
+                images[i] = dec[k]
+                hw[i] = dec_hw[k]
+        for i, r in enumerate(raws):
+            if r is not None:  # pre-decoded uint8 HxWx3 blob
+                h, w = r.shape[:2]
+                images[i, :h, :w] = r
+                hw[i] = (h, w)
+
+        batch = {"image": images, "image_hw": hw}
+        batch.update(_assemble_labels(metas, blobs, self.pad_hw, self.max_objects))
+
+        if any("jpeg_t1" in b or "image_t1" in b for b in blobs):
+            img1 = np.zeros((B, Hm, Wm, 3), np.uint8)
+            j1 = [(i, b["jpeg_t1"]) for i, b in enumerate(blobs) if "jpeg_t1" in b]
+            if j1:
+                dec, _ = decode_jpeg_batch([j for _, j in j1], Hm, Wm, self.threads)
+                for k, (i, _) in enumerate(j1):
+                    img1[i] = dec[k]
+            for i, b in enumerate(blobs):
+                if "image_t1" in b:
+                    r = b["image_t1"]
+                    img1[i, : r.shape[0], : r.shape[1]] = r
+            batch["image_t1"] = img1
+        return batch
+
+    def _id_stream(self) -> Iterator[List[int]]:
+        rng = np.random.default_rng(self.seed)
+        epoch = 0
+        while True:
+            ids = np.array(self.ids)
+            if self.shuffle:
+                rng.shuffle(ids)
+            for s in range(0, len(ids) - (self.batch_size - 1 if self.drop_remainder else 0), self.batch_size):
+                chunk = ids[s : s + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_remainder:
+                    break
+                yield chunk.tolist()
+            epoch += 1
+            if not self.loop:
+                return
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Background-thread batch assembly with a bounded prefetch queue."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for idxs in self._id_stream():
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(idxs))
+                q.put(None)
+            except Exception as e:  # surface loader errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def prefetch_to_device(iterator, sharding, depth: int = 2):
+    """Double-buffer host batches onto device (keeps the chip fed).
+
+    Issues ``depth`` async host→device transfers ahead of consumption —
+    the device-side analogue of the reference's Sequence worker threads.
+    """
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+    it = iter(iterator)
+
+    def put(x):
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), x)
+
+    try:
+        for _ in range(depth):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -1,0 +1,133 @@
+"""Synthetic dataset: learnable toy scenes for every task (SURVEY.md §4 item 3).
+
+Generates host-side raw batches in the loader's padded format: colored
+rectangles on noise backgrounds, with consistent boxes / masks / depth /
+frame-pair labels, so integration tests can assert that N training steps
+actually reduce the loss, and benchmarks can run without real datasets.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+# One distinctive RGB color per class so every task is learnable.
+_CLASS_COLORS = np.array(
+    [
+        (220, 40, 40),
+        (40, 220, 40),
+        (40, 40, 220),
+        (220, 220, 40),
+        (220, 40, 220),
+        (40, 220, 220),
+        (240, 140, 20),
+        (140, 20, 240),
+        (20, 240, 140),
+        (180, 180, 180),
+    ],
+    np.uint8,
+)
+
+
+def synthetic_sample(
+    rng: np.random.Generator,
+    hw: Tuple[int, int],
+    num_classes: int = 3,
+    max_objects: int = 8,
+) -> Dict[str, np.ndarray]:
+    """One scene: noise background + K colored class rectangles."""
+    H, W = hw
+    img = rng.integers(60, 90, (H, W, 3)).astype(np.uint8)
+    n = int(rng.integers(1, max_objects + 1))
+    boxes = np.zeros((max_objects, 4), np.float32)
+    classes = np.zeros((max_objects,), np.int32)
+    mask = np.zeros((H, W), np.uint8)
+    depth = np.zeros((H, W), np.float32)
+
+    # Background depth: smooth vertical gradient (road-like).
+    depth[:] = np.linspace(40.0, 5.0, H)[:, None]
+
+    for k in range(n):
+        bw = int(rng.integers(W // 8, W // 3))
+        bh = int(rng.integers(H // 8, H // 3))
+        x0 = int(rng.integers(0, max(W - bw, 1)))
+        y0 = int(rng.integers(0, max(H - bh, 1)))
+        c = int(rng.integers(0, num_classes))
+        img[y0 : y0 + bh, x0 : x0 + bw] = _CLASS_COLORS[c]
+        boxes[k] = [x0, y0, x0 + bw, y0 + bh]
+        classes[k] = c
+        mask[y0 : y0 + bh, x0 : x0 + bw] = c
+        depth[y0 : y0 + bh, x0 : x0 + bw] = float(rng.uniform(5.0, 30.0))
+
+    return {
+        "image": img,
+        "image_hw": np.array([H, W], np.int32),
+        "boxes": boxes,
+        "classes": classes,
+        "num_objects": np.int32(n),
+        "mask": mask,
+        "depth": depth,
+    }
+
+
+def synthetic_batch(
+    rng: np.random.Generator,
+    batch_size: int,
+    pad_hw: Tuple[int, int],
+    num_classes: int = 3,
+    max_objects: int = 8,
+    vary_sizes: bool = True,
+    two_frame: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Batch of scenes padded to ``pad_hw`` (the loader's static buffer shape)."""
+    Hm, Wm = pad_hw
+    out: Dict[str, list] = {k: [] for k in
+                            ("image", "image_hw", "boxes", "classes", "num_objects", "mask", "depth")}
+    if two_frame:
+        out["image_t1"] = []
+        out["intrinsics"] = []
+    for _ in range(batch_size):
+        if vary_sizes:
+            H = int(rng.integers(int(Hm * 0.7), Hm + 1))
+            W = int(rng.integers(int(Wm * 0.7), Wm + 1))
+        else:
+            H, W = Hm, Wm
+        s = synthetic_sample(rng, (H, W), num_classes, max_objects)
+        img = np.zeros((Hm, Wm, 3), np.uint8)
+        img[:H, :W] = s["image"]
+        msk = np.zeros((Hm, Wm), np.uint8)
+        msk[:H, :W] = s["mask"]
+        dep = np.zeros((Hm, Wm), np.float32)
+        dep[:H, :W] = s["depth"]
+        out["image"].append(img)
+        out["image_hw"].append(s["image_hw"])
+        out["boxes"].append(s["boxes"])
+        out["classes"].append(s["classes"])
+        out["num_objects"].append(s["num_objects"])
+        out["mask"].append(msk)
+        out["depth"].append(dep)
+        if two_frame:
+            # Frame t+1: shift the scene a few px (simulated ego-motion).
+            dx, dy = int(rng.integers(-4, 5)), int(rng.integers(-2, 3))
+            img2 = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+            out["image_t1"].append(img2)
+            out["intrinsics"].append(
+                np.array([0.9 * W, 0.9 * W, W / 2.0, H / 2.0], np.float32)
+            )
+    return {k: np.stack(v) for k, v in out.items()}
+
+
+def synthetic_iterator(
+    seed: int,
+    batch_size: int,
+    pad_hw: Tuple[int, int],
+    num_classes: int = 3,
+    max_objects: int = 8,
+    two_frame: bool = False,
+) -> Iterator[Dict[str, np.ndarray]]:
+    rng = np.random.default_rng(seed)
+    while True:
+        yield synthetic_batch(
+            rng, batch_size, pad_hw, num_classes, max_objects, two_frame=two_frame
+        )

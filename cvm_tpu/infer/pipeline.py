@@ -1,0 +1,91 @@
+"""End-to-end jitted inference: raw batch → preprocess → model → decode.
+
+This is the benchmark surface (BASELINE.json: "preprocess + infer + head
+decode" per image). The whole path — letterbox, normalize, forward, peak
+decode / argmax / upsample, and mapping results back to original-image
+coordinates — is ONE compiled XLA program per model; only the final small
+result tensors cross back to the host (unlike the reference, which does
+pre/post on host per image, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cvm_tpu.models.registry import ModelSpec
+from cvm_tpu.ops.decode import decode_centernet, semseg_argmax
+from cvm_tpu.ops.image import map_boxes_to_input
+from cvm_tpu.parallel.mesh import batch_sharding, replicated
+from cvm_tpu.pipeline.preprocess import preprocess_image_batch
+
+
+def _postprocess(spec_name: str, params_cfg, out, rois) -> Dict[str, jnp.ndarray]:
+    res: Dict[str, jnp.ndarray] = {}
+    if spec_name in ("centernet", "multitask"):
+        stride = getattr(params_cfg, "stride", getattr(params_cfg, "det_stride", 4))
+        det = decode_centernet(
+            out["heatmap"], out["offset"], out["size"], stride=stride,
+            top_k=getattr(params_cfg, "top_k", 100),
+        )
+        boxes = jax.vmap(map_boxes_to_input)(det.boxes, rois)
+        res["boxes"] = boxes
+        res["scores"] = det.scores
+        res["classes"] = det.classes
+    if spec_name in ("semseg", "multitask"):
+        res["class_map"] = semseg_argmax(out["logits"])
+    if spec_name in ("depth", "multitask"):
+        res["depth"] = out["depth"]
+    if spec_name == "dmds":
+        res["depth"] = out["depth_a"]
+        res["rotation"] = out["motion_fwd"]["rotation"]
+        res["translation"] = out["motion_fwd"]["translation"]
+    return res
+
+
+class InferencePipeline:
+    """Jitted predict for a trained model (params/batch_stats variables)."""
+
+    def __init__(
+        self,
+        spec: ModelSpec,
+        params_cfg,
+        variables: Dict[str, Any],
+        mesh=None,
+        donate_input: bool = False,
+    ):
+        self.spec = spec
+        self.cfg = params_cfg
+        self.model = spec.create_model(params_cfg)
+        self._variables = variables
+        out_hw = params_cfg.input_hw
+        is_dmds = spec.name == "dmds"
+
+        def predict(variables, images, image_hw, images_t1=None):
+            proc, rois = preprocess_image_batch(None, images, image_hw, out_hw, train=False)
+            if is_dmds:
+                proc_b, _ = preprocess_image_batch(None, images_t1, image_hw, out_hw, train=False)
+                proc = jnp.concatenate([proc, proc_b], axis=-1)
+            out = self.model.apply(variables, proc, train=False)
+            return _postprocess(spec.name, params_cfg, out, rois)
+
+        kw = {}
+        if mesh is not None:
+            repl = replicated(mesh)
+            bsh = batch_sharding(mesh)
+            n_img = 3 if is_dmds else 2
+            kw = dict(
+                in_shardings=(repl,) + (bsh,) * n_img,
+                out_shardings=repl,
+            )
+        self._predict = jax.jit(predict, **kw)
+
+    def __call__(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        """batch: image (B, Hm, Wm, 3) uint8, image_hw (B, 2); dmds: +image_t1."""
+        if self.spec.name == "dmds":
+            return self._predict(
+                self._variables, batch["image"], batch["image_hw"], batch["image_t1"]
+            )
+        return self._predict(self._variables, batch["image"], batch["image_hw"])

@@ -1,0 +1,142 @@
+"""ctypes bindings for the native JPEG feeder, with lazy build + PIL fallback.
+
+The shared library is built on first use via the Makefile (cached next to the
+source; rebuilt when the source is newer). If the toolchain or libjpeg is
+missing the loader transparently falls back to PIL — slower, same results.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libcvmjpeg.so")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build() -> bool:
+    src = os.path.join(_HERE, "jpeg_feeder.cc")
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
+        return True
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_HERE, check=True, capture_output=True, timeout=120
+        )
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.cvm_decode_into.restype = ctypes.c_int
+        lib.cvm_decode_into.argtypes = [
+            ctypes.c_char_p, ctypes.c_ulong, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.cvm_decode_batch.restype = ctypes.c_int
+        lib.cvm_decode_batch.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_ulong), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def _decode_batch_pil(
+    jpegs: Sequence[bytes], max_h: int, max_w: int, out: np.ndarray, out_hw: np.ndarray
+) -> int:
+    import io
+
+    from PIL import Image
+
+    failures = 0
+    for i, data in enumerate(jpegs):
+        try:
+            img = Image.open(io.BytesIO(data)).convert("RGB")
+            # Match the native path: integer downscale until it fits.
+            scale = 1
+            while (img.height // scale > max_h or img.width // scale > max_w) and scale < 8:
+                scale *= 2
+            if scale > 1:
+                img = img.resize((img.width // scale, img.height // scale), Image.BILINEAR)
+            arr = np.asarray(img, np.uint8)
+            h, w = arr.shape[:2]
+            if h > max_h or w > max_w:
+                failures += 1
+                continue
+            out[i, :h, :w] = arr
+            out_hw[i] = (h, w)
+        except Exception:
+            failures += 1
+    return failures
+
+
+def decode_jpeg_batch(
+    jpegs: Sequence[bytes],
+    max_h: int,
+    max_w: int,
+    num_threads: int = 4,
+    out: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode JPEGs into a padded (N, max_h, max_w, 3) uint8 batch.
+
+    Returns (batch, hw) where hw[i] = (h, w) valid extent. Failed decodes
+    yield a zero frame with hw = (1, 1) (masked rather than fatal).
+    """
+    n = len(jpegs)
+    if out is None:
+        out = np.zeros((n, max_h, max_w, 3), np.uint8)
+    else:
+        out[:] = 0
+    out_hw = np.ones((n, 2), np.int32)
+
+    lib = get_lib()
+    if lib is None:
+        _decode_batch_pil(jpegs, max_h, max_w, out, out_hw)
+        return out, out_hw
+
+    bufs = [np.frombuffer(j, np.uint8) for j in jpegs]
+    ptrs = (ctypes.c_char_p * n)(*[b.ctypes.data_as(ctypes.c_char_p) for b in bufs])
+    lens = (ctypes.c_ulong * n)(*[len(j) for j in jpegs])
+    rc = np.zeros(n, np.int32)
+    lib.cvm_decode_batch(
+        n, ptrs, lens,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        max_h, max_w,
+        out_hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    bad = rc != 0
+    if bad.any():
+        out[bad] = 0
+        out_hw[bad] = 1
+    return out, out_hw

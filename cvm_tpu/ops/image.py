@@ -248,6 +248,25 @@ def map_points_to_output(points: jnp.ndarray, roi: Roi, out_w=None) -> jnp.ndarr
     return jnp.stack([xo, yo], axis=-1)
 
 
+def map_points_to_input(points: jnp.ndarray, roi: Roi) -> jnp.ndarray:
+    """Inverse of ``map_points_to_output`` (no flip: inference ROIs don't flip).
+
+    Used to report detections in original-image coordinates, matching the
+    reference's inference scripts (SURVEY.md §3.2).
+    """
+    x, y = points[..., 0], points[..., 1]
+    xi = (x - roi.dst_x0) / roi.scale_x + roi.src_x0
+    yi = (y - roi.dst_y0) / roi.scale_y + roi.src_y0
+    return jnp.stack([xi, yi], axis=-1)
+
+
+def map_boxes_to_input(boxes: jnp.ndarray, roi: Roi) -> jnp.ndarray:
+    """Map (..., 4) [x0, y0, x1, y1] boxes from output canvas back to source."""
+    p0 = map_points_to_input(boxes[..., 0:2], roi)
+    p1 = map_points_to_input(boxes[..., 2:4], roi)
+    return jnp.concatenate([p0, p1], axis=-1)
+
+
 def map_boxes_to_output(boxes: jnp.ndarray, roi: Roi, out_w: int) -> jnp.ndarray:
     """Map (..., 4) [x0, y0, x1, y1] boxes through ``roi`` (handles flip)."""
     p0 = map_points_to_output(boxes[..., 0:2], roi, out_w)

@@ -1,0 +1,60 @@
+"""Device mesh construction + sharding helpers (SURVEY.md §2 parallelism table).
+
+The reference has no distributed training (single-device Keras fit); here
+data-parallel scale-out is first-class and TPU-idiomatic: a
+``jax.sharding.Mesh`` with ("data", "model") axes, batches sharded on
+"data", parameters replicated (the zoo's convnets are far below the size
+where tensor parallelism pays), and XLA inserting all collectives over ICI
+under GSPMD — no NCCL/MPI analogue needed. The "model" axis exists so wide
+layers *can* be sharded later without re-plumbing (SURVEY.md §5
+"Distributed communication backend").
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    model_axis: int = 1,
+) -> Mesh:
+    """Build a ("data", "model") mesh over all (or given) devices.
+
+    ``model_axis`` devices are assigned to the model axis (default 1 =
+    pure data parallelism); the rest go to data.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_axis != 0:
+        raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
+    arr = mesh_utils.create_device_mesh(
+        (n // model_axis, model_axis), devices=np.asarray(devices)
+    )
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over data AND model axes.
+
+    While parameters are replicated (no TP — these convnets are tiny relative
+    to MXU capacity), folding the model axis into batch sharding keeps every
+    device doing distinct work on any mesh shape; when TP layers land, their
+    activations simply stop sharding batch over "model".
+    """
+    return NamedSharding(mesh, P(("data", "model")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch pytree with the batch axis sharded on "data"."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)

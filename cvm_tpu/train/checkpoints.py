@@ -1,0 +1,61 @@
+"""Checkpoint manager: async Orbax saves with keep-N + exact resume.
+
+Replaces the reference's save-model-each-epoch Keras callback (SURVEY.md §5
+"Checkpoint / resume"): full train state (params / batch_stats / opt_state /
+step) saved every N steps with atomic swap and async write; restart auto-
+resumes from the latest step. Model hyperparameters are stored alongside as
+JSON so a checkpoint is self-describing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3, params_cfg=None):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                enable_async_checkpointing=True,
+            ),
+        )
+        if params_cfg is not None:
+            cfg_path = os.path.join(self.directory, "params.json")
+            if not os.path.exists(cfg_path):
+                with open(cfg_path, "w") as f:
+                    f.write(params_cfg.to_json())
+
+    def save(self, step: int, state: Any) -> None:
+        self._mngr.save(step, args=ocp.args.StandardSave(state))
+
+    def restore_latest(self, abstract_state: Any) -> Optional[Any]:
+        """Restore the newest checkpoint shaped like ``abstract_state`` (or None)."""
+        step = self._mngr.latest_step()
+        if step is None:
+            return None
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
+        return self._mngr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def wait(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.close()
+
+
+def load_params_cfg(directory: str, params_cls):
+    """Rebuild the typed Params object stored next to the checkpoints."""
+    with open(os.path.join(os.path.abspath(directory), "params.json")) as f:
+        return params_cls.from_dict(json.load(f))

@@ -1,0 +1,120 @@
+"""Adapter tests against synthetic miniature dataset trees."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cvm_tpu.data.adapters import pack_coco, pack_comma10k, pack_kitti_object, pack_nuimages
+from cvm_tpu.data.adapters.kitti import KITTI_CLASSES
+from cvm_tpu.data.records import RecordReader
+from cvm_tpu.models.semseg.params import SEMSEG_PALETTE
+
+
+def _save(path, arr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+def test_pack_coco(tmp_path, rng):
+    root = tmp_path / "coco"
+    imgs = []
+    for i in range(3):
+        name = f"img{i}.jpg"
+        _save(str(root / "val2017" / name), rng.integers(0, 255, (50, 70, 3), dtype=np.uint8))
+        imgs.append({"id": i, "file_name": name, "height": 50, "width": 70})
+    anns = [
+        {"id": 1, "image_id": 0, "category_id": 7, "bbox": [10, 10, 20, 15], "iscrowd": 0},
+        {"id": 2, "image_id": 0, "category_id": 3, "bbox": [5, 5, 8, 8], "iscrowd": 0},
+        {"id": 3, "image_id": 1, "category_id": 3, "bbox": [0, 0, 1, 1], "iscrowd": 0},  # tiny → dropped
+        {"id": 4, "image_id": 2, "category_id": 7, "bbox": [1, 2, 30, 30], "iscrowd": 1},  # crowd → dropped
+    ]
+    cats = [{"id": 3, "name": "car"}, {"id": 7, "name": "person"}]
+    ann = {"images": imgs, "annotations": anns, "categories": cats}
+    os.makedirs(root / "annotations")
+    with open(root / "annotations" / "instances_val2017.json", "w") as f:
+        json.dump(ann, f)
+
+    out = str(tmp_path / "coco.cvrec")
+    stats = pack_coco(str(root), out, split="val2017")
+    assert stats == {"written": 3, "skipped": 0, "num_classes": 2}
+    r = RecordReader(out)
+    meta0, blobs0 = r.get(0)
+    assert meta0["boxes"] == [[10, 10, 30, 25], [5, 5, 13, 13]]
+    assert meta0["classes"] == [1, 0]  # contiguous remap sorted by id: 3→0, 7→1
+    assert blobs0["jpeg"][:2] == b"\xff\xd8"
+    meta2, _ = r.get(2)
+    assert meta2["boxes"] == []  # crowd only
+    with open(out + ".meta.json") as f:
+        assert json.load(f)["classes"] == ["car", "person"]
+
+
+def test_pack_kitti_object(tmp_path, rng):
+    root = tmp_path / "kitti"
+    for fid in ("000000", "000001"):
+        _save(str(root / "training" / "image_2" / f"{fid}.png"),
+              rng.integers(0, 255, (40, 120, 3), dtype=np.uint8))
+        os.makedirs(root / "training" / "label_2", exist_ok=True)
+        with open(root / "training" / "label_2" / f"{fid}.txt", "w") as f:
+            f.write("Car 0.0 0 -1.5 10.0 5.0 50.0 35.0 1.5 1.6 3.8 2.0 1.5 20.0 -1.2\n")
+            f.write("DontCare -1 -1 -10 0 0 10 10 -1 -1 -1 -1000 -1000 -1000 -10\n")
+            f.write("Pedestrian 0.0 1 0.5 60.0 8.0 70.0 38.0 1.7 0.6 0.9 5.0 1.6 15.0 0.3\n")
+        os.makedirs(root / "training" / "calib", exist_ok=True)
+        with open(root / "training" / "calib" / f"{fid}.txt", "w") as f:
+            f.write("P2: 700.0 0.0 600.0 40.0 0.0 700.0 180.0 1.0 0.0 0.0 1.0 0.003\n")
+
+    out = str(tmp_path / "kitti.cvrec")
+    stats = pack_kitti_object(str(root), out)
+    assert stats["written"] == 2
+    r = RecordReader(out)
+    meta, blobs = r.get(0)
+    assert meta["classes"] == [KITTI_CLASSES.index("Car"), KITTI_CLASSES.index("Pedestrian")]
+    assert meta["boxes"][0] == [10.0, 5.0, 50.0, 35.0]
+    assert meta["intrinsics"] == [700.0, 700.0, 600.0, 180.0]
+    assert meta["dims3d"][0] == [1.5, 1.6, 3.8]
+    assert meta["rot_y"] == [-1.2, 0.3]
+
+
+def test_pack_comma10k(tmp_path, rng):
+    root = tmp_path / "c10k"
+    img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    _save(str(root / "imgs" / "a.png"), img)
+    mask_rgb = np.zeros((32, 48, 3), np.uint8)
+    mask_rgb[:16] = SEMSEG_PALETTE[0]  # road
+    mask_rgb[16:] = SEMSEG_PALETTE[3]  # movable
+    _save(str(root / "masks" / "a.png"), mask_rgb)
+
+    out = str(tmp_path / "c.cvrec")
+    stats = pack_comma10k(str(root), out)
+    assert stats["written"] == 1
+    _, blobs = RecordReader(out).get(0)
+    m = blobs["mask"]
+    assert (m[:16] == 0).all() and (m[16:] == 3).all()
+
+
+def test_pack_nuimages(tmp_path, rng):
+    root = tmp_path / "nuim"
+    v = root / "v1.0-train"
+    os.makedirs(v)
+    fname = "samples/CAM_FRONT/x.jpg"
+    _save(str(root / fname), rng.integers(0, 255, (30, 40, 3), dtype=np.uint8))
+    json.dump(
+        [{"token": "sd1", "filename": fname, "is_key_frame": True},
+         {"token": "sd2", "filename": "missing.jpg", "is_key_frame": True}],
+        open(v / "sample_data.json", "w"))
+    json.dump(
+        [{"sample_data_token": "sd1", "category_token": "c1", "bbox": [1, 2, 20, 25]},
+         {"sample_data_token": "sd1", "category_token": "c2", "bbox": [3, 3, 10, 10]}],
+        open(v / "object_ann.json", "w"))
+    json.dump(
+        [{"token": "c1", "name": "vehicle.car"},
+         {"token": "c2", "name": "animal"}],  # unmapped → dropped
+        open(v / "category.json", "w"))
+
+    out = str(tmp_path / "n.cvrec")
+    stats = pack_nuimages(str(root), out)
+    assert stats["written"] == 1 and stats["skipped"] == 1
+    meta, _ = RecordReader(out).get(0)
+    assert meta["classes"] == [0] and meta["boxes"] == [[1, 2, 20, 25]]

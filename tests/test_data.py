@@ -1,0 +1,121 @@
+"""Record format + native JPEG feeder + loader tests."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cvm_tpu.data.loader import RecordLoader, prefetch_to_device
+from cvm_tpu.data.records import RecordDataset, RecordReader, RecordWriter
+from cvm_tpu.native import decode_jpeg_batch, native_available
+
+
+def _jpeg_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+    return buf.getvalue()
+
+
+def _write_shard(path, n, rng, hw=(40, 60), with_mask=True, with_depth=True):
+    with RecordWriter(path) as w:
+        for i in range(n):
+            img = rng.integers(0, 255, (*hw, 3), dtype=np.uint8)
+            blobs = {"jpeg": _jpeg_bytes(img)}
+            if with_mask:
+                blobs["mask"] = rng.integers(0, 5, hw).astype(np.uint8)
+            if with_depth:
+                blobs["depth"] = rng.uniform(0, 80, hw).astype(np.float32)
+            meta = {
+                "id": f"s{i}",
+                "boxes": [[1.0, 2.0, 20.0, 22.0], [5.0, 5.0, 30.0, 35.0]],
+                "classes": [0, 2],
+                "intrinsics": [50.0, 50.0, 30.0, 20.0],
+            }
+            w.write(meta, blobs)
+
+
+def test_record_roundtrip(tmp_path, rng):
+    p = str(tmp_path / "a.cvrec")
+    _write_shard(p, 5, rng)
+    r = RecordReader(p)
+    assert len(r) == 5
+    meta, blobs = r.get(3)
+    assert meta["id"] == "s3"
+    assert meta["classes"] == [0, 2]
+    assert blobs["mask"].shape == (40, 60) and blobs["mask"].dtype == np.uint8
+    assert blobs["depth"].dtype == np.float32
+    img = Image.open(io.BytesIO(blobs["jpeg"]))
+    assert img.size == (60, 40)
+    r.close()
+
+
+def test_record_dataset_multi_shard_and_split(tmp_path, rng):
+    for s in range(3):
+        _write_shard(str(tmp_path / f"s{s}.cvrec"), 4, rng)
+    ds = RecordDataset([str(tmp_path / "*.cvrec")])
+    assert len(ds) == 12
+    meta, _ = ds.get(11)
+    assert meta["id"] == "s3"
+    train, val = ds.split_ids(val_fraction=0.25, seed=1)
+    assert len(val) == 3 and len(train) == 9
+    assert set(train) | set(val) == set(range(12))
+
+
+def test_native_decoder_matches_pil(rng):
+    imgs = [rng.integers(0, 255, (37, 53, 3), dtype=np.uint8) for _ in range(3)]
+    jpegs = [_jpeg_bytes(im) for im in imgs]
+    batch, hw = decode_jpeg_batch(jpegs, 64, 64, num_threads=2)
+    assert batch.shape == (3, 64, 64, 3)
+    for i, im in enumerate(imgs):
+        assert tuple(hw[i]) == (37, 53)
+        ref = np.asarray(Image.open(io.BytesIO(jpegs[i])).convert("RGB"))
+        got = batch[i, :37, :53]
+        # Different IDCT implementations may differ by a few LSB.
+        assert np.abs(got.astype(int) - ref.astype(int)).mean() < 2.0
+        assert np.all(batch[i, 37:] == 0) and np.all(batch[i, :, 53:] == 0)
+
+
+def test_native_decoder_downscales_oversized(rng):
+    img = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+    batch, hw = decode_jpeg_batch([_jpeg_bytes(img)], 64, 80, num_threads=1)
+    h, w = hw[0]
+    assert h <= 64 and w <= 80 and h >= 25  # 1/4 scale → 50x75
+    assert batch[0, :h, :w].std() > 1.0
+
+
+def test_native_decoder_bad_bytes():
+    batch, hw = decode_jpeg_batch([b"not a jpeg", b"\xff\xd8\xff"], 32, 32)
+    assert tuple(hw[0]) == (1, 1) and tuple(hw[1]) == (1, 1)
+    assert batch.sum() == 0
+
+
+def test_loader_batches(tmp_path, rng):
+    p = str(tmp_path / "a.cvrec")
+    _write_shard(p, 10, rng)
+    ds = RecordDataset([p])
+    loader = RecordLoader(ds, batch_size=4, pad_hw=(48, 64), max_objects=8, loop=False, seed=3)
+    batches = list(iter(loader))
+    assert len(batches) == 2  # drop remainder
+    b = batches[0]
+    assert b["image"].shape == (4, 48, 64, 3)
+    assert tuple(b["image_hw"][0]) == (40, 60)
+    assert b["boxes"].shape == (4, 8, 4)
+    assert (b["num_objects"] == 2).all()
+    assert b["mask"].shape == (4, 48, 64)
+    assert b["depth"].dtype == np.float32
+    assert b["intrinsics"].shape == (4, 4)
+
+
+def test_prefetch_to_device(tmp_path, rng):
+    import jax
+
+    p = str(tmp_path / "a.cvrec")
+    _write_shard(p, 8, rng, with_mask=False, with_depth=False)
+    ds = RecordDataset([p])
+    loader = RecordLoader(ds, batch_size=4, pad_hw=(48, 64), loop=False)
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    out = list(prefetch_to_device(iter(loader), sharding))
+    assert len(out) == 2
+    assert out[0]["image"].shape == (4, 48, 64, 3)
+    assert isinstance(out[0]["image"], jax.Array)

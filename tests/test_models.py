@@ -1,0 +1,76 @@
+"""Model zoo forward-pass shape/dtype tests (tiny configs for 1-core CI)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvm_tpu.models import get_model
+
+
+def _init_and_apply(spec, p, inputs):
+    model = spec.create_model(p)
+    variables = model.init(jax.random.PRNGKey(0), inputs, train=False)
+    out = model.apply(variables, inputs, train=False)
+    return model, variables, out
+
+
+def test_centernet_forward():
+    spec = get_model("centernet")
+    p = spec.params_cls(input_hw=(64, 64), num_classes=4, backbone="tiny", neck_features=32, head_features=16)
+    x = jnp.zeros((2, 64, 64, 3))
+    _, variables, out = _init_and_apply(spec, p, x)
+    assert out["heatmap"].shape == (2, 16, 16, 4)
+    assert out["offset"].shape == (2, 16, 16, 2)
+    assert out["size"].shape == (2, 16, 16, 2)
+    assert out["heatmap"].dtype == jnp.float32
+    # focal prior: initial sigmoid(heatmap) ~ 0.1
+    pr = float(jax.nn.sigmoid(out["heatmap"]).mean())
+    assert 0.05 < pr < 0.2
+    assert "batch_stats" in variables
+
+
+def test_semseg_forward():
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(64, 128), backbone="tiny", decoder_features=16)
+    x = jnp.zeros((2, 64, 128, 3))
+    _, _, out = _init_and_apply(spec, p, x)
+    assert out["logits"].shape == (2, 64, 128, p.num_classes)
+    assert out["logits"].dtype == jnp.float32
+
+
+def test_depth_forward():
+    spec = get_model("depth")
+    p = spec.params_cls(input_hw=(64, 128), backbone="tiny", decoder_features=16, num_scales=2)
+    x = jnp.zeros((1, 64, 128, 3))
+    _, _, out = _init_and_apply(spec, p, x)
+    assert out["depth"].shape == (1, 64, 128, 1)
+    assert len(out["depth_scales"]) == 2
+    d = np.asarray(out["depth"])
+    assert (d >= p.min_depth - 1e-3).all() and (d <= p.max_depth + 1e-3).all()
+
+
+def test_multitask_forward():
+    spec = get_model("multitask")
+    p = spec.params_cls(
+        input_hw=(64, 128), backbone="tiny", neck_features=32, head_features=16,
+        num_det_classes=3,
+    )
+    x = jnp.zeros((1, 64, 128, 3))
+    _, _, out = _init_and_apply(spec, p, x)
+    assert out["heatmap"].shape == (1, 16, 32, 3)
+    assert out["logits"].shape == (1, 64, 128, p.num_seg_classes)
+    assert out["depth"].shape == (1, 64, 128, 1)
+
+
+def test_dmds_forward():
+    spec = get_model("dmds")
+    p = spec.params_cls(input_hw=(64, 128), backbone="tiny", decoder_features=16, motion_features=32)
+    x = jnp.zeros((1, 64, 128, 6))
+    _, _, out = _init_and_apply(spec, p, x)
+    assert out["depth_a"].shape == (1, 64, 128, 1)
+    assert out["motion_fwd"]["rotation"].shape == (1, 3)
+    assert out["motion_fwd"]["translation"].shape == (1, 3)
+    assert out["motion_fwd"]["residual_translation"].shape == (1, 64, 128, 3)
+    # zero-init ego-motion head → identity motion at init
+    assert float(jnp.abs(out["motion_fwd"]["rotation"]).max()) < 1e-6
