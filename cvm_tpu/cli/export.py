@@ -1,0 +1,93 @@
+"""Model export: serialize the jitted e2e inference program + weights.
+
+The reference's deployment path is TFLite int8 + edgetpu_compiler
+(SURVEY.md §3.5); the TPU-native analogue is an AOT-exportable artifact:
+``jax.export`` serializes the full preprocess+forward+decode program
+(StableHLO) next to the checkpointed weights and the typed config, so a
+serving process can load and run without the model-zoo Python code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
+                 batch_size: int = 1, pad_hw=None) -> dict:
+    from cvm_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from cvm_tpu.models import get_model
+    from cvm_tpu.infer.pipeline import InferencePipeline
+    from cvm_tpu.train.checkpoints import load_params_cfg
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model(spec_name)
+    cfg = load_params_cfg(checkpoint_dir, spec.params_cls)
+    trainer = Trainer(spec, cfg, checkpoint_dir=checkpoint_dir)
+    trainer.init_state()
+    variables = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
+
+    pad_hw = pad_hw or (int(cfg.input_hw[0] * 1.5), int(cfg.input_hw[1] * 1.5))
+    pipe = InferencePipeline(spec, cfg, variables)
+
+    img = jnp.zeros((batch_size, *pad_hw, 3), jnp.uint8)
+    hw = jnp.ones((batch_size, 2), jnp.int32)
+    args = (variables, img, hw)
+    if spec_name == "dmds":
+        args = (variables, img, hw, img)
+
+    exported = jax_export.export(pipe._predict)(*args)
+    blob = exported.serialize()
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
+        f.write(blob)
+    with open(os.path.join(out_dir, "params.json"), "w") as f:
+        f.write(cfg.to_json())
+    # Weights as a flat npz for runtime loading without orbax.
+    flat = {}
+
+    def _flatten(prefix, tree):
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                _flatten(key, v)
+            else:
+                flat[key] = np.asarray(v)
+
+    _flatten("params", jax.device_get(trainer.state.params))
+    _flatten("batch_stats", jax.device_get(trainer.state.batch_stats))
+    np.savez(os.path.join(out_dir, "weights.npz"), **flat)
+    return {
+        "out_dir": out_dir,
+        "stablehlo_bytes": len(blob),
+        "num_weights": len(flat),
+        "platforms": list(exported.platforms),
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--checkpoint_dir", required=True)
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--batch_size", type=int, default=1)
+    args = parser.parse_args(argv)
+    stats = export_model(args.model, args.checkpoint_dir, args.out, args.batch_size)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

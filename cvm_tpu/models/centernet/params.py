@@ -30,6 +30,9 @@ class CenternetParams(BaseParams):
     weight_offset: float = 1.0
     weight_size: float = 0.1
     min_overlap: float = 0.7
+    # Pallas VMEM-resident splat kernel for the GT heatmap (TPU only; the
+    # XLA lattice+segment_max path is the portable fallback/oracle).
+    use_pallas_splat: bool = True
     # training
     learning_rate: float = 5e-4
     weight_decay: float = 1e-5

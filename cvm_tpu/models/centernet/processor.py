@@ -25,9 +25,12 @@ def make_processor(params: CenternetParams, train: bool):
                boxes (B, K, 4) [x0,y0,x1,y1] original px; classes (B, K);
                num_objects (B,).
     """
+    from cvm_tpu.utils.backend import is_tpu_backend
+
     aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, params.aug_flip_prob)
     out_hw = params.input_hw
     map_hw = params.map_hw
+    use_pallas = params.use_pallas_splat and is_tpu_backend()
 
     def process(key, batch) -> Tuple[jnp.ndarray, CenternetTargets]:
         images, rois = preprocess_image_batch(
@@ -44,6 +47,15 @@ def make_processor(params: CenternetParams, train: bool):
         targets = render_centernet_targets_batch(
             boxes, batch["classes"], valid, map_hw, params.num_classes, params.min_overlap
         )
+        if use_pallas:
+            # VMEM-resident splat; the unused XLA lattice heatmap is DCE'd.
+            from cvm_tpu.ops.pallas.gaussian_splat import render_heatmap_pallas
+
+            hm = render_heatmap_pallas(
+                boxes, batch["classes"], valid, map_hw,
+                params.num_classes, params.min_overlap,
+            )
+            targets = targets._replace(heatmap=hm)
         return images, targets
 
     return process

@@ -1,0 +1,235 @@
+"""Evaluation: COCO-style detection mAP, semseg mIoU, depth error metrics.
+
+The BASELINE contract tracks detection mAP and semseg mIoU parity within
+0.5 pts (BASELINE.md). Forward passes and dense reductions run on device via
+the InferencePipeline; the per-dataset AP bookkeeping (greedy IoU matching,
+PR integration) is small and runs on host.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+COCO_IOU_THRESHOLDS = tuple(np.arange(0.5, 1.0, 0.05).round(2))
+
+
+def box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 4) x (M, 4) xyxy → (N, M) IoU."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    tl = np.maximum(a[:, None, :2], b[None, :, :2])
+    br = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = np.prod(np.clip(br - tl, 0, None), axis=-1)
+    area_a = np.prod(np.clip(a[:, 2:] - a[:, :2], 0, None), -1)
+    area_b = np.prod(np.clip(b[:, 2:] - b[:, :2], 0, None), -1)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return (inter / np.maximum(union, 1e-9)).astype(np.float32)
+
+
+class DetectionEvaluator:
+    """Accumulates per-image detections + GT; computes COCO-style mAP."""
+
+    def __init__(self, num_classes: int, iou_thresholds: Sequence[float] = COCO_IOU_THRESHOLDS):
+        self.num_classes = num_classes
+        self.thresholds = list(iou_thresholds)
+        # per class: list of (score, is_tp_per_threshold) plus GT count
+        self._dets: List[List[Tuple[float, np.ndarray]]] = [[] for _ in range(num_classes)]
+        self._n_gt = np.zeros(num_classes, np.int64)
+
+    def add_image(
+        self,
+        det_boxes: np.ndarray,
+        det_scores: np.ndarray,
+        det_classes: np.ndarray,
+        gt_boxes: np.ndarray,
+        gt_classes: np.ndarray,
+        score_threshold: float = 0.01,
+    ) -> None:
+        keep = det_scores >= score_threshold
+        det_boxes, det_scores, det_classes = det_boxes[keep], det_scores[keep], det_classes[keep]
+        for c in range(self.num_classes):
+            gtc = gt_boxes[gt_classes == c]
+            self._n_gt[c] += len(gtc)
+            dc = det_classes == c
+            boxes = det_boxes[dc]
+            scores = det_scores[dc]
+            order = np.argsort(-scores)
+            boxes, scores = boxes[order], scores[order]
+            iou = box_iou_matrix(boxes, gtc)
+            T = len(self.thresholds)
+            matched = np.zeros((T, len(gtc)), bool)
+            for i in range(len(boxes)):
+                tp = np.zeros(T, bool)
+                for t, thr in enumerate(self.thresholds):
+                    if len(gtc) == 0:
+                        continue
+                    cand = np.where(~matched[t] & (iou[i] >= thr))[0]
+                    if len(cand):
+                        j = cand[np.argmax(iou[i][cand])]
+                        matched[t, j] = True
+                        tp[t] = True
+                self._dets[c].append((float(scores[i]), tp))
+
+    def compute(self) -> Dict[str, float]:
+        T = len(self.thresholds)
+        ap = np.full((self.num_classes, T), np.nan)
+        for c in range(self.num_classes):
+            if self._n_gt[c] == 0:
+                continue
+            dets = sorted(self._dets[c], key=lambda x: -x[0])
+            if not dets:
+                ap[c] = 0.0
+                continue
+            tps = np.stack([d[1] for d in dets])  # (D, T)
+            for t in range(T):
+                tp = tps[:, t].astype(np.float64)
+                fp = 1.0 - tp
+                ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+                recall = ctp / self._n_gt[c]
+                precision = ctp / np.maximum(ctp + cfp, 1e-9)
+                # COCO 101-point interpolation
+                q = np.zeros(101)
+                pr = precision.copy()
+                for i in range(len(pr) - 1, 0, -1):
+                    pr[i - 1] = max(pr[i - 1], pr[i])
+                idx = np.searchsorted(recall, np.linspace(0, 1, 101), side="left")
+                valid = idx < len(pr)
+                q[valid] = pr[idx[valid]]
+                ap[c, t] = q.mean()
+        present = ~np.isnan(ap[:, 0])
+        if not present.any():
+            return {"mAP": 0.0, "mAP50": 0.0, "mAP75": 0.0}
+        m = np.nanmean(ap[present], axis=0)
+        out = {"mAP": float(m.mean()), "mAP50": float(m[0])}
+        i75 = self.thresholds.index(0.75) if 0.75 in self.thresholds else None
+        out["mAP75"] = float(m[i75]) if i75 is not None else float("nan")
+        return out
+
+
+class SemsegEvaluator:
+    """Streaming confusion matrix → per-class IoU + mIoU + pixel acc."""
+
+    def __init__(self, num_classes: int, ignore_index: int = 255):
+        self.C = num_classes
+        self.ignore = ignore_index
+        self.cm = np.zeros((num_classes, num_classes), np.int64)
+
+    def add(self, pred: np.ndarray, label: np.ndarray) -> None:
+        valid = (label != self.ignore) & (label < self.C)
+        p = pred[valid].astype(np.int64)
+        l = label[valid].astype(np.int64)
+        np.add.at(self.cm, (l, p), 1)
+
+    def compute(self) -> Dict[str, float]:
+        inter = np.diag(self.cm).astype(np.float64)
+        union = self.cm.sum(0) + self.cm.sum(1) - inter
+        present = union > 0
+        iou = inter[present] / np.maximum(union[present], 1)
+        acc = inter.sum() / max(self.cm.sum(), 1)
+        return {"miou": float(iou.mean()) if present.any() else 0.0, "pixel_acc": float(acc)}
+
+
+class DepthEvaluator:
+    """Streaming masked depth metrics: abs_rel, rmse, delta thresholds."""
+
+    def __init__(self):
+        self.sums = {"abs_rel": 0.0, "sq_rel": 0.0, "se": 0.0, "d1": 0.0, "d2": 0.0, "d3": 0.0}
+        self.n = 0
+
+    def add(self, pred: np.ndarray, gt: np.ndarray) -> None:
+        mask = gt > 0
+        if not mask.any():
+            return
+        p, g = pred[mask].astype(np.float64), gt[mask].astype(np.float64)
+        r = np.maximum(p / g, g / np.maximum(p, 1e-6))
+        n = mask.sum()
+        self.sums["abs_rel"] += float(np.sum(np.abs(p - g) / g))
+        self.sums["sq_rel"] += float(np.sum((p - g) ** 2 / g))
+        self.sums["se"] += float(np.sum((p - g) ** 2))
+        self.sums["d1"] += float(np.sum(r < 1.25))
+        self.sums["d2"] += float(np.sum(r < 1.25**2))
+        self.sums["d3"] += float(np.sum(r < 1.25**3))
+        self.n += int(n)
+
+    def compute(self) -> Dict[str, float]:
+        n = max(self.n, 1)
+        return {
+            "abs_rel": self.sums["abs_rel"] / n,
+            "sq_rel": self.sums["sq_rel"] / n,
+            "rmse": float(np.sqrt(self.sums["se"] / n)),
+            "delta1": self.sums["d1"] / n,
+            "delta2": self.sums["d2"] / n,
+            "delta3": self.sums["d3"] / n,
+        }
+
+
+def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = None,
+                   mesh=None) -> Dict[str, float]:
+    """Run the e2e pipeline over a loader and compute task metrics."""
+    from cvm_tpu.infer.pipeline import InferencePipeline
+
+    pipe = InferencePipeline(spec, cfg, variables, mesh=mesh)
+    det_eval = seg_eval = dep_eval = None
+    if spec.name in ("centernet", "multitask"):
+        det_eval = DetectionEvaluator(
+            getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 0))
+        )
+    if spec.name in ("semseg", "multitask"):
+        seg_eval = SemsegEvaluator(
+            getattr(cfg, "num_classes", getattr(cfg, "num_seg_classes", 0)),
+            getattr(cfg, "ignore_index", 255),
+        )
+    if spec.name in ("depth", "multitask", "dmds"):
+        dep_eval = DepthEvaluator()
+
+    from cvm_tpu.ops.image import letterbox_roi, sample_nearest
+    import jax
+    import jax.numpy as jnp
+
+    n = 0
+    for batch in loader:
+        if max_batches is not None and n >= max_batches:
+            break
+        out = pipe(batch)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        B = batch["image"].shape[0]
+        for i in range(B):
+            if det_eval is not None and "boxes" in batch:
+                ng = int(batch["num_objects"][i])
+                det_eval.add_image(
+                    out["boxes"][i], out["scores"][i], out["classes"][i],
+                    np.asarray(batch["boxes"][i][:ng]), np.asarray(batch["classes"][i][:ng]),
+                )
+            if seg_eval is not None and "mask" in batch:
+                # GT mask resampled with the same eval-letterbox geometry.
+                h, w = int(batch["image_hw"][i][0]), int(batch["image_hw"][i][1])
+                roi = letterbox_roi(h, w, *cfg.input_hw)
+                gt = np.asarray(
+                    sample_nearest(
+                        jnp.asarray(batch["mask"][i], jnp.int32), roi, cfg.input_hw,
+                        valid_hw=(h, w), pad_value=getattr(cfg, "ignore_index", 255),
+                    )
+                )
+                seg_eval.add(out["class_map"][i], gt)
+            if dep_eval is not None and "depth" in batch and "depth" in out:
+                h, w = int(batch["image_hw"][i][0]), int(batch["image_hw"][i][1])
+                roi = letterbox_roi(h, w, *cfg.input_hw)
+                gt = np.asarray(
+                    sample_nearest(
+                        jnp.asarray(batch["depth"][i]), roi, cfg.input_hw,
+                        valid_hw=(h, w), pad_value=0.0,
+                    )
+                )
+                dep_eval.add(out["depth"][i][..., 0], gt)
+        n += 1
+
+    metrics: Dict[str, float] = {}
+    if det_eval is not None:
+        metrics.update(det_eval.compute())
+    if seg_eval is not None:
+        metrics.update(seg_eval.compute())
+    if dep_eval is not None:
+        metrics.update(dep_eval.compute())
+    return metrics

@@ -1,0 +1,91 @@
+"""Evaluator unit tests with hand-checkable cases, plus an e2e eval run."""
+
+import numpy as np
+import pytest
+
+from cvm_tpu.train.evaluate import (
+    DepthEvaluator,
+    DetectionEvaluator,
+    SemsegEvaluator,
+    box_iou_matrix,
+    evaluate_model,
+)
+
+
+def test_box_iou():
+    a = np.array([[0, 0, 10, 10]], np.float32)
+    b = np.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], np.float32)
+    iou = box_iou_matrix(a, b)
+    np.testing.assert_allclose(iou[0], [1.0, 25 / 175, 0.0], atol=1e-6)
+
+
+def test_map_perfect_detections():
+    ev = DetectionEvaluator(num_classes=2)
+    gt = np.array([[0, 0, 10, 10], [20, 20, 40, 45]], np.float32)
+    gtc = np.array([0, 1])
+    ev.add_image(gt.copy(), np.array([0.9, 0.8]), gtc.copy(), gt, gtc)
+    m = ev.compute()
+    assert m["mAP"] == pytest.approx(1.0, abs=1e-6)
+    assert m["mAP50"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_map_false_positive_and_miss():
+    ev = DetectionEvaluator(num_classes=1, iou_thresholds=[0.5])
+    gt = np.array([[0, 0, 10, 10], [30, 30, 40, 40]], np.float32)
+    det = np.array([[0, 0, 10, 10], [100, 100, 110, 110]], np.float32)
+    ev.add_image(det, np.array([0.9, 0.8]), np.zeros(2, int), gt, np.zeros(2, int))
+    m = ev.compute()
+    # one TP at recall 0.5, one FP → AP ≈ 0.5 (101-pt: precision 1.0 up to r=0.5)
+    assert 0.45 <= m["mAP50"] <= 0.55
+
+
+def test_map_localization_quality_affects_high_iou():
+    ev = DetectionEvaluator(num_classes=1, iou_thresholds=[0.5, 0.9])
+    gt = np.array([[0, 0, 10, 10]], np.float32)
+    det = np.array([[1, 1, 11, 11]], np.float32)  # IoU ≈ 0.68
+    ev.add_image(det, np.array([0.9]), np.zeros(1, int), gt, np.zeros(1, int))
+    m = ev.compute()
+    assert m["mAP50"] == pytest.approx(1.0, abs=1e-6)
+    assert m["mAP"] == pytest.approx(0.5, abs=1e-6)  # mean of AP@.5=1, AP@.9=0
+
+
+def test_semseg_evaluator():
+    ev = SemsegEvaluator(num_classes=3)
+    pred = np.array([[0, 1], [2, 2]])
+    gt = np.array([[0, 1], [2, 255]])  # one ignored pixel
+    ev.add(pred, gt)
+    m = ev.compute()
+    assert m["miou"] == pytest.approx(1.0)
+    assert m["pixel_acc"] == pytest.approx(1.0)
+    ev.add(np.array([[1]]), np.array([[0]]))
+    m = ev.compute()
+    assert m["miou"] < 1.0
+
+
+def test_depth_evaluator():
+    ev = DepthEvaluator()
+    ev.add(np.array([10.0, 20.0, 1.0]), np.array([10.0, 10.0, 0.0]))  # last invalid
+    m = ev.compute()
+    assert m["abs_rel"] == pytest.approx((0 + 1.0) / 2)
+    assert m["delta1"] == pytest.approx(0.5)
+    assert m["rmse"] == pytest.approx(np.sqrt(100 / 2))
+
+
+def test_evaluate_model_e2e_centernet():
+    """Untrained model on synthetic data: runs, produces finite metrics."""
+    import jax
+
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+
+    spec = get_model("centernet")
+    p = spec.params_cls(input_hw=(64, 64), num_classes=3, max_objects=6,
+                        backbone="tiny", neck_features=32, head_features=16, top_k=20)
+    model = spec.create_model(p)
+    variables = model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=False)
+
+    rng = np.random.default_rng(0)
+    batches = [synthetic_batch(rng, 2, (96, 96), num_classes=3, max_objects=6) for _ in range(2)]
+    m = evaluate_model(spec, p, variables, batches)
+    assert "mAP" in m and np.isfinite(m["mAP"])
+    assert 0.0 <= m["mAP"] <= 1.0
