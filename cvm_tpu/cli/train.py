@@ -22,11 +22,23 @@ def main(argv=None):
     parser.add_argument("--log_every", type=int, default=50)
     parser.add_argument("--pad_hw", default=None, help="loader pad size 'H,W' (default: 1.5x input)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--eval_every", type=int, default=0,
+                        help="run evaluation every N steps (0 = off)")
+    parser.add_argument("--eval_batches", type=int, default=20)
+    parser.add_argument(
+        "--debug_nans", action="store_true",
+        help="enable jax NaN checking (SURVEY.md §5 sanitizer mode)",
+    )
     args, overrides = parser.parse_known_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+
+    if args.debug_nans:
+        import jax as _jax
+
+        _jax.config.update("jax_debug_nans", True)
 
     from cvm_tpu.models import get_model
     from cvm_tpu.train.loop import Trainer
@@ -73,7 +85,45 @@ def main(argv=None):
     trainer.init_state(sample)
     print(f"[cvm_tpu] model={args.model} devices={jax.device_count()} "
           f"start_step={int(trainer.state.step)}", flush=True)
-    metrics = trainer.fit(it, args.steps)
+
+    def run_eval():
+        from cvm_tpu.train.evaluate import evaluate_model
+
+        if args.data == "synthetic":
+            from cvm_tpu.data.synthetic import synthetic_batch
+            import numpy as _np
+
+            _rng = _np.random.default_rng(999)
+            val = [
+                synthetic_batch(_rng, cfg.batch_size, pad_hw, num_classes=min(nc, 10),
+                                two_frame=(args.model == "dmds"))
+                for _ in range(args.eval_batches)
+            ]
+        else:
+            from cvm_tpu.data.loader import RecordLoader as _RL
+
+            _, val_ids = ds.split_ids()
+            val = _RL(ds, cfg.batch_size, pad_hw, ids=val_ids, shuffle=False,
+                      loop=False, max_objects=getattr(cfg, "max_objects", 128))
+        variables = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
+        m = evaluate_model(spec, cfg, variables, val, max_batches=args.eval_batches,
+                           mesh=trainer.mesh)
+        print(f"[cvm_tpu] eval@{int(trainer.state.step)}: {m}", flush=True)
+        if trainer.metrics_writer is not None:
+            trainer.metrics_writer.write(int(trainer.state.step), {f"val_{k}": v for k, v in m.items()})
+        return m
+
+    nc = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 3))
+    if args.eval_every > 0:
+        remaining = args.steps
+        metrics = {}
+        while remaining > 0:
+            chunk = min(args.eval_every, remaining)
+            metrics = trainer.fit(it, chunk)
+            run_eval()
+            remaining -= chunk
+    else:
+        metrics = trainer.fit(it, args.steps)
     print(f"[cvm_tpu] done: {metrics}", flush=True)
     return 0
 

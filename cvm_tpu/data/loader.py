@@ -72,6 +72,20 @@ def _assemble_labels(
                 depth[i, : d.shape[0], : d.shape[1]] = d
         out["depth"] = depth
 
+    if any("loc3d" in m for m in metas):
+        loc3d = np.zeros((B, max_objects, 3), np.float32)
+        dims3d = np.zeros((B, max_objects, 3), np.float32)
+        rot_y = np.zeros((B, max_objects), np.float32)
+        for i, m in enumerate(metas):
+            if "loc3d" in m:
+                n = min(len(m["loc3d"]), max_objects)
+                loc3d[i, :n] = np.asarray(m["loc3d"][:n], np.float32)
+                dims3d[i, :n] = np.asarray(m.get("dims3d", [[0, 0, 0]] * n)[:n], np.float32)
+                rot_y[i, :n] = np.asarray(m.get("rot_y", [0.0] * n)[:n], np.float32)
+        out["loc3d"] = loc3d
+        out["dims3d"] = dims3d
+        out["rot_y"] = rot_y
+
     if any("intrinsics" in m for m in metas):
         intr = np.zeros((B, 4), np.float32)
         for i, m in enumerate(metas):
@@ -96,7 +110,10 @@ class RecordLoader:
         prefetch_batches: int = 2,
         drop_remainder: bool = True,
         loop: bool = True,
+        output_format: str = "rgb",
     ):
+        if output_format not in ("rgb", "yuv420"):
+            raise ValueError(f"output_format must be rgb|yuv420, got {output_format}")
         self.ds = dataset
         self.batch_size = batch_size
         self.pad_hw = pad_hw
@@ -108,6 +125,7 @@ class RecordLoader:
         self.prefetch = prefetch_batches
         self.drop_remainder = drop_remainder
         self.loop = loop
+        self.output_format = output_format
 
     def _make_batch(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
         metas, blobs, jpegs, raws = [], [], [], []
@@ -120,9 +138,28 @@ class RecordLoader:
 
         Hm, Wm = self.pad_hw
         B = len(idxs)
+        to_decode = [(i, j) for i, j in enumerate(jpegs) if j is not None]
+
+        if self.output_format == "yuv420":
+            from cvm_tpu.native import decode_jpeg_batch_yuv420
+
+            Y = np.zeros((B, Hm, Wm), np.uint8)
+            U = np.full((B, Hm // 2, Wm // 2), 128, np.uint8)
+            V = np.full((B, Hm // 2, Wm // 2), 128, np.uint8)
+            hw = np.ones((B, 2), np.int32)
+            if to_decode:
+                dy, du, dv, dhw = decode_jpeg_batch_yuv420(
+                    [j for _, j in to_decode], Hm, Wm, self.threads
+                )
+                for k, (i, _) in enumerate(to_decode):
+                    Y[i], U[i], V[i] = dy[k], du[k], dv[k]
+                    hw[i] = dhw[k]
+            batch = {"y": Y, "u": U, "v": V, "image_hw": hw}
+            batch.update(_assemble_labels(metas, blobs, self.pad_hw, self.max_objects))
+            return batch
+
         images = np.zeros((B, Hm, Wm, 3), np.uint8)
         hw = np.ones((B, 2), np.int32)
-        to_decode = [(i, j) for i, j in enumerate(jpegs) if j is not None]
         if to_decode:
             dec, dec_hw = decode_jpeg_batch(
                 [j for _, j in to_decode], Hm, Wm, self.threads

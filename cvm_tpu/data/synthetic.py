@@ -79,6 +79,7 @@ def synthetic_batch(
     max_objects: int = 8,
     vary_sizes: bool = True,
     two_frame: bool = False,
+    with_3d: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Batch of scenes padded to ``pad_hw`` (the loader's static buffer shape)."""
     Hm, Wm = pad_hw
@@ -87,6 +88,10 @@ def synthetic_batch(
     if two_frame:
         out["image_t1"] = []
         out["intrinsics"] = []
+    if with_3d:
+        out["loc3d"] = []
+        out["dims3d"] = []
+        out["rot_y"] = []
     for _ in range(batch_size):
         if vary_sizes:
             H = int(rng.integers(int(Hm * 0.7), Hm + 1))
@@ -107,6 +112,18 @@ def synthetic_batch(
         out["num_objects"].append(s["num_objects"])
         out["mask"].append(msk)
         out["depth"].append(dep)
+        if with_3d:
+            # Plausible camera-frame 3D labels correlated with 2D box size
+            # (bigger box → closer object), so the 3D heads are learnable.
+            k = max_objects
+            sizes = (s["boxes"][:, 2] - s["boxes"][:, 0]) + 1e-3
+            z = np.clip(800.0 / sizes, 2.0, 80.0).astype(np.float32)
+            loc = np.zeros((k, 3), np.float32)
+            loc[:, 2] = z
+            dims = np.tile(np.array([1.6, 1.8, 4.2], np.float32), (k, 1))
+            out["loc3d"].append(loc)
+            out["dims3d"].append(dims)
+            out["rot_y"].append(rng.uniform(-np.pi, np.pi, k).astype(np.float32))
         if two_frame:
             # Frame t+1: shift the scene a few px (simulated ego-motion).
             dx, dy = int(rng.integers(-4, 5)), int(rng.integers(-2, 3))

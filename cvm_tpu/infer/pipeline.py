@@ -19,7 +19,7 @@ from cvm_tpu.models.registry import ModelSpec
 from cvm_tpu.ops.decode import decode_centernet, semseg_argmax
 from cvm_tpu.ops.image import map_boxes_to_input
 from cvm_tpu.parallel.mesh import batch_sharding, replicated
-from cvm_tpu.pipeline.preprocess import preprocess_image_batch
+from cvm_tpu.pipeline.preprocess import preprocess_image_batch, preprocess_yuv420_batch
 
 
 def _postprocess(spec_name: str, params_cfg, out, rois) -> Dict[str, jnp.ndarray]:
@@ -54,36 +54,58 @@ class InferencePipeline:
         params_cfg,
         variables: Dict[str, Any],
         mesh=None,
-        donate_input: bool = False,
+        input_format: str = "rgb",
     ):
         self.spec = spec
         self.cfg = params_cfg
         self.model = spec.create_model(params_cfg)
         self._variables = variables
+        self.input_format = input_format
         out_hw = params_cfg.input_hw
         is_dmds = spec.name == "dmds"
 
-        def predict(variables, images, image_hw, images_t1=None):
-            proc, rois = preprocess_image_batch(None, images, image_hw, out_hw, train=False)
-            if is_dmds:
-                proc_b, _ = preprocess_image_batch(None, images_t1, image_hw, out_hw, train=False)
-                proc = jnp.concatenate([proc, proc_b], axis=-1)
-            out = self.model.apply(variables, proc, train=False)
-            return _postprocess(spec.name, params_cfg, out, rois)
+        if input_format == "yuv420":
+            # Bandwidth-optimal serving path: host ships 4:2:0 planes
+            # (half the bytes of RGB); chroma upsample + color conversion
+            # fuse into the device preprocess.
+            def predict(variables, y, u, v, image_hw):
+                proc, rois = preprocess_yuv420_batch(
+                    None, y, u, v, image_hw, out_hw, train=False
+                )
+                out = self.model.apply(variables, proc, train=False)
+                return _postprocess(spec.name, params_cfg, out, rois)
+
+            n_data_args = 4
+        else:
+            def predict(variables, images, image_hw, images_t1=None):
+                proc, rois = preprocess_image_batch(None, images, image_hw, out_hw, train=False)
+                if is_dmds:
+                    proc_b, _ = preprocess_image_batch(
+                        None, images_t1, image_hw, out_hw, train=False
+                    )
+                    proc = jnp.concatenate([proc, proc_b], axis=-1)
+                out = self.model.apply(variables, proc, train=False)
+                return _postprocess(spec.name, params_cfg, out, rois)
+
+            n_data_args = 3 if is_dmds else 2
 
         kw = {}
         if mesh is not None:
             repl = replicated(mesh)
             bsh = batch_sharding(mesh)
-            n_img = 3 if is_dmds else 2
             kw = dict(
-                in_shardings=(repl,) + (bsh,) * n_img,
+                in_shardings=(repl,) + (bsh,) * n_data_args,
                 out_shardings=repl,
             )
         self._predict = jax.jit(predict, **kw)
 
     def __call__(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
-        """batch: image (B, Hm, Wm, 3) uint8, image_hw (B, 2); dmds: +image_t1."""
+        """batch: image (B, Hm, Wm, 3) uint8 + image_hw (B, 2); dmds adds
+        image_t1; yuv420 format instead takes y/u/v planes + image_hw."""
+        if self.input_format == "yuv420":
+            return self._predict(
+                self._variables, batch["y"], batch["u"], batch["v"], batch["image_hw"]
+            )
         if self.spec.name == "dmds":
             return self._predict(
                 self._variables, batch["image"], batch["image_hw"], batch["image_t1"]

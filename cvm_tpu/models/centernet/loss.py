@@ -62,4 +62,22 @@ def centernet_loss(
         + params.weight_offset * l_off
         + params.weight_size * l_size
     )
-    return total, {"loss": total, "loss_hm": l_hm, "loss_off": l_off, "loss_size": l_size}
+    metrics = {"loss": total, "loss_hm": l_hm, "loss_off": l_off, "loss_size": l_size}
+
+    if params.with_3d and targets.extras:
+        # Depth via 1/sigmoid-1 (Objects-as-Points 3D), L1 on dims and yaw
+        # sin/cos, all masked to GT centers.
+        pred_depth = 1.0 / jax.nn.sigmoid(outputs["depth3d"]) - 1.0
+        l_dep = masked_l1_loss(pred_depth, targets.extras["depth3d"], targets.mask)
+        l_dim = masked_l1_loss(outputs["dims3d"], targets.extras["dims3d"], targets.mask)
+        l_rot = masked_l1_loss(outputs["rot"], targets.extras["rot"], targets.mask)
+        total = (
+            total
+            + params.weight_depth3d * l_dep
+            + params.weight_dims3d * l_dim
+            + params.weight_rot * l_rot
+        )
+        metrics.update(
+            {"loss": total, "loss_dep3d": l_dep, "loss_dim3d": l_dim, "loss_rot": l_rot}
+        )
+    return total, metrics

@@ -37,11 +37,18 @@ class CenterNet(nn.Module):
             s //= 2
             h = UpBlock(p.neck_features, name=f"up{i}")(h, skips.get(s), train)
             i += 1
-        return {
+        out = {
             "heatmap": Head(p.head_features, p.num_classes, _HM_BIAS, name="hm")(h, train),
             "offset": Head(p.head_features, 2, name="off")(h, train),
             "size": Head(p.head_features, 2, name="size")(h, train),
         }
+        if p.with_3d:
+            # Monocular 3D: depth via the 1/sigmoid(x)-1 parameterization
+            # (Objects-as-Points §3D), absolute dims in meters, yaw sin/cos.
+            out["depth3d"] = Head(p.head_features, 1, name="dep3d")(h, train)
+            out["dims3d"] = Head(p.head_features, 3, name="dim3d")(h, train)
+            out["rot"] = Head(p.head_features, 2, name="rot")(h, train)
+        return out
 
 
 def create_model(params: CenternetParams) -> CenterNet:

@@ -33,6 +33,12 @@ class CenternetParams(BaseParams):
     # Pallas VMEM-resident splat kernel for the GT heatmap (TPU only; the
     # XLA lattice+segment_max path is the portable fallback/oracle).
     use_pallas_splat: bool = True
+    # Optional monocular 3D heads (KITTI/nuScenes: camera-frame depth, object
+    # dimensions, yaw; SURVEY.md §2 "CenterNet processor" optional 3D targets).
+    with_3d: bool = False
+    weight_depth3d: float = 1.0
+    weight_dims3d: float = 1.0
+    weight_rot: float = 1.0
     # training
     learning_rate: float = 5e-4
     weight_decay: float = 1e-5

@@ -44,8 +44,20 @@ def make_processor(params: CenternetParams, train: bool):
         )
         K = batch["boxes"].shape[1]
         valid = jnp.arange(K)[None, :] < batch["num_objects"][:, None]
+        extra_values = None
+        if params.with_3d and "loc3d" in batch:
+            # Camera-frame z, metric dims, yaw as sin/cos. Depth is left
+            # augmentation-uncorrected (CenterNet ddd convention); 3D configs
+            # should keep aug_scale_range tight.
+            ry = batch["rot_y"]
+            extra_values = {
+                "depth3d": batch["loc3d"][..., 2:3],
+                "dims3d": batch["dims3d"],
+                "rot": jnp.stack([jnp.sin(ry), jnp.cos(ry)], axis=-1),
+            }
         targets = render_centernet_targets_batch(
-            boxes, batch["classes"], valid, map_hw, params.num_classes, params.min_overlap
+            boxes, batch["classes"], valid, map_hw, params.num_classes,
+            params.min_overlap, extra_values,
         )
         if use_pallas:
             # VMEM-resident splat; the unused XLA lattice heatmap is DCE'd.

@@ -62,6 +62,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
         ]
+        lib.cvm_decode_batch_yuv420.restype = ctypes.c_int
+        lib.cvm_decode_batch_yuv420.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_ulong),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
         _LIB = lib
         return _LIB
 
@@ -140,3 +150,87 @@ def decode_jpeg_batch(
         out[bad] = 0
         out_hw[bad] = 1
     return out, out_hw
+
+
+def _rgb_to_yuv420_np(rgb: np.ndarray):
+    """Host fallback: full-range JFIF RGB → planar YUV420 (numpy)."""
+    r = rgb[..., 0].astype(np.float32)
+    g = rgb[..., 1].astype(np.float32)
+    b = rgb[..., 2].astype(np.float32)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    yq = np.clip(y + 0.5, 0, 255).astype(np.uint8)
+    uq = np.clip(u[::2, ::2] + 0.5, 0, 255).astype(np.uint8)
+    vq = np.clip(v[::2, ::2] + 0.5, 0, 255).astype(np.uint8)
+    return yq, uq, vq
+
+
+def decode_jpeg_batch_yuv420(
+    jpegs: Sequence[bytes],
+    max_h: int,
+    max_w: int,
+    num_threads: int = 4,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode JPEGs to planar YUV420 padded batches.
+
+    Returns (Y (N, max_h, max_w), U (N, max_h/2, max_w/2), V, hw). Halves
+    host→device bytes vs RGB (JPEG chroma is stored 4:2:0 anyway); the device
+    preprocess fuses chroma upsampling + color conversion (ops/image.py).
+    max_h/max_w must be even.
+    """
+    assert max_h % 2 == 0 and max_w % 2 == 0, "pad size must be even for 4:2:0"
+    n = len(jpegs)
+    Y = np.zeros((n, max_h, max_w), np.uint8)
+    U = np.full((n, max_h // 2, max_w // 2), 128, np.uint8)
+    V = np.full((n, max_h // 2, max_w // 2), 128, np.uint8)
+    out_hw = np.ones((n, 2), np.int32)
+
+    lib = get_lib()
+    if lib is None:
+        import io
+
+        from PIL import Image
+
+        for i, data in enumerate(jpegs):
+            try:
+                img = Image.open(io.BytesIO(data)).convert("RGB")
+                scale = 1
+                while (img.height // scale > max_h or img.width // scale > max_w) and scale < 8:
+                    scale *= 2
+                if scale > 1:
+                    img = img.resize((img.width // scale, img.height // scale), Image.BILINEAR)
+                arr = np.asarray(img, np.uint8)
+                h, w = arr.shape[:2]
+                if h % 2 or w % 2:  # crop to even for clean 4:2:0
+                    arr = arr[: h - h % 2, : w - w % 2]
+                    h, w = arr.shape[:2]
+                yq, uq, vq = _rgb_to_yuv420_np(arr)
+                Y[i, :h, :w] = yq
+                U[i, : h // 2, : w // 2] = uq
+                V[i, : h // 2, : w // 2] = vq
+                out_hw[i] = (h, w)
+            except Exception:
+                pass
+        return Y, U, V, out_hw
+
+    bufs = [np.frombuffer(j, np.uint8) for j in jpegs]
+    ptrs = (ctypes.c_char_p * n)(*[b.ctypes.data_as(ctypes.c_char_p) for b in bufs])
+    lens = (ctypes.c_ulong * n)(*[len(j) for j in jpegs])
+    rc = np.zeros(n, np.int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.cvm_decode_batch_yuv420(
+        n, ptrs, lens,
+        Y.ctypes.data_as(u8p), U.ctypes.data_as(u8p), V.ctypes.data_as(u8p),
+        max_h, max_w,
+        out_hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    bad = rc != 0
+    if bad.any():
+        Y[bad] = 0
+        U[bad] = 128
+        V[bad] = 128
+        out_hw[bad] = 1
+    return Y, U, V, out_hw

@@ -84,6 +84,179 @@ int cvm_decode_into(const uint8_t* jpeg, unsigned long len, uint8_t* out,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// YUV420 planar decode: JPEGs store 4:2:0 chroma natively, so shipping raw
+// planes to the device (1.5 B/px instead of 3 B/px RGB) halves host->device
+// bandwidth; chroma upsampling + YCbCr->RGB then fuse into the device-side
+// preprocess. Non-4:2:0 sources fall back to RGB decode + host subsample.
+// ---------------------------------------------------------------------------
+
+static void rgb_row_to_yuv(const uint8_t* rgb, uint8_t* yrow, int w) {
+  for (int x = 0; x < w; ++x) {
+    const int r = rgb[3 * x], g = rgb[3 * x + 1], b = rgb[3 * x + 2];
+    int y = (int)(0.299 * r + 0.587 * g + 0.114 * b + 0.5);
+    yrow[x] = (uint8_t)(y < 0 ? 0 : (y > 255 ? 255 : y));
+  }
+}
+
+// Decode one JPEG into planar YUV420: Y in out_y[max_h][max_w], U/V in
+// out_u/out_v[max_h/2][max_w/2] (strides max_w and max_w/2). Returns 0 on ok.
+int cvm_decode_yuv420_into(const uint8_t* jpeg, unsigned long len,
+                           uint8_t* out_y, uint8_t* out_u, uint8_t* out_v,
+                           int max_h, int max_w, int* out_h, int* out_w) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, jpeg, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+
+  const bool native420 =
+      cinfo.jpeg_color_space == JCS_YCbCr && cinfo.num_components == 3 &&
+      cinfo.comp_info[0].h_samp_factor == 2 && cinfo.comp_info[0].v_samp_factor == 2 &&
+      cinfo.comp_info[1].h_samp_factor == 1 && cinfo.comp_info[1].v_samp_factor == 1 &&
+      cinfo.comp_info[2].h_samp_factor == 1 && cinfo.comp_info[2].v_samp_factor == 1;
+
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = 1;
+  while (cinfo.scale_denom < 8) {
+    jpeg_calc_output_dimensions(&cinfo);
+    if ((int)cinfo.output_height <= max_h && (int)cinfo.output_width <= max_w)
+      break;
+    cinfo.scale_denom *= 2;
+  }
+  jpeg_calc_output_dimensions(&cinfo);
+  if ((int)cinfo.output_height > max_h || (int)cinfo.output_width > max_w) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+
+  if (native420 && cinfo.scale_denom == 1) {
+    // Fast path: raw 4:2:0 planes straight out of the entropy decoder —
+    // no host color conversion or chroma upsampling at all.
+    cinfo.raw_data_out = TRUE;
+    cinfo.do_fancy_upsampling = FALSE;
+    jpeg_start_decompress(&cinfo);
+    const int H = cinfo.output_height, W = cinfo.output_width;
+    const int cw = (W + 1) / 2;
+    const int y_stride = max_w, c_stride = max_w / 2;
+    // raw_data requires reading in units of max_v_samp_factor*DCTSIZE rows.
+    const int mcu_rows = cinfo.max_v_samp_factor * DCTSIZE;  // 16
+    JSAMPROW yrows[16], urows[8], vrows[8];
+    JSAMPARRAY planes[3] = {yrows, urows, vrows};
+    // Scratch for rows past the buffer edge (H not multiple of 16);
+    // libjpeg-pool-allocated so error longjmp cannot leak it.
+    JSAMPARRAY scrap_arr = (*cinfo.mem->alloc_sarray)(
+        (j_common_ptr)&cinfo, JPOOL_IMAGE, max_w, 1);
+    uint8_t* scrap = scrap_arr[0];
+    while ((int)cinfo.output_scanline < H) {
+      const int base = cinfo.output_scanline;
+      for (int r = 0; r < mcu_rows; ++r) {
+        const int yy = base + r;
+        yrows[r] = (yy < H) ? out_y + (size_t)yy * y_stride : scrap;
+      }
+      for (int r = 0; r < mcu_rows / 2; ++r) {
+        const int cy = base / 2 + r;
+        const int ch = (H + 1) / 2;
+        urows[r] = (cy < ch) ? out_u + (size_t)cy * c_stride : scrap;
+        vrows[r] = (cy < ch) ? out_v + (size_t)cy * c_stride : scrap;
+      }
+      jpeg_read_raw_data(&cinfo, planes, mcu_rows);
+    }
+    *out_h = H;
+    *out_w = W;
+    (void)cw;
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+
+  // Fallback: decode to RGB rows, convert + 2x2 box-subsample on host.
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const int H = cinfo.output_height, W = cinfo.output_width;
+  JSAMPARRAY rgb_rows = (*cinfo.mem->alloc_sarray)(
+      (j_common_ptr)&cinfo, JPOOL_IMAGE, (JDIMENSION)(W * 3), 2);
+  const int y_stride = max_w, c_stride = max_w / 2;
+  while ((int)cinfo.output_scanline < H) {
+    const int y0 = cinfo.output_scanline;
+    int got = jpeg_read_scanlines(&cinfo, rgb_rows, (y0 + 1 < H) ? 2 : 1);
+    for (int r = 0; r < got; ++r)
+      rgb_row_to_yuv(rgb_rows[r], out_y + (size_t)(y0 + r) * y_stride, W);
+    // Chroma from the first row of each pair (cheap 2x subsample).
+    const uint8_t* src = rgb_rows[0];
+    uint8_t* urow = out_u + (size_t)(y0 / 2) * c_stride;
+    uint8_t* vrow = out_v + (size_t)(y0 / 2) * c_stride;
+    for (int x = 0; x < W; x += 2) {
+      const int r = src[3 * x], g = src[3 * x + 1], b = src[3 * x + 2];
+      int u = (int)(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.5);
+      int v = (int)(0.5 * r - 0.418688 * g - 0.081312 * b + 128.5);
+      urow[x / 2] = (uint8_t)(u < 0 ? 0 : (u > 255 ? 255 : u));
+      vrow[x / 2] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+  }
+  *out_h = H;
+  *out_w = W;
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+struct YuvBatchTask {
+  int n;
+  const uint8_t* const* jpegs;
+  const unsigned long* lens;
+  uint8_t *out_y, *out_u, *out_v;
+  int max_h, max_w;
+  int* out_hw;
+  int* rc;
+  int next;
+  pthread_mutex_t mu;
+};
+
+void* yuv_batch_worker(void* arg) {
+  YuvBatchTask* t = static_cast<YuvBatchTask*>(arg);
+  const size_t yf = (size_t)t->max_h * t->max_w;
+  const size_t cf = yf / 4;
+  for (;;) {
+    pthread_mutex_lock(&t->mu);
+    int i = t->next++;
+    pthread_mutex_unlock(&t->mu);
+    if (i >= t->n) break;
+    t->rc[i] = cvm_decode_yuv420_into(
+        t->jpegs[i], t->lens[i], t->out_y + yf * i, t->out_u + cf * i,
+        t->out_v + cf * i, t->max_h, t->max_w, &t->out_hw[2 * i],
+        &t->out_hw[2 * i + 1]);
+  }
+  return nullptr;
+}
+
+int cvm_decode_batch_yuv420(int n, const uint8_t* const* jpegs,
+                            const unsigned long* lens, uint8_t* out_y,
+                            uint8_t* out_u, uint8_t* out_v, int max_h,
+                            int max_w, int* out_hw, int* rc, int num_threads) {
+  YuvBatchTask t{n, jpegs, lens, out_y, out_u, out_v, max_h, max_w,
+                 out_hw, rc, 0, PTHREAD_MUTEX_INITIALIZER};
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+  pthread_t threads[64];
+  if (num_threads > 64) num_threads = 64;
+  for (int i = 0; i < num_threads; ++i)
+    pthread_create(&threads[i], nullptr, yuv_batch_worker, &t);
+  for (int i = 0; i < num_threads; ++i) pthread_join(threads[i], nullptr);
+  int failures = 0;
+  for (int i = 0; i < n; ++i) failures += (rc[i] != 0);
+  return failures;
+}
+
 struct BatchTask {
   int n;
   const uint8_t* const* jpegs;

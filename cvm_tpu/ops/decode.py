@@ -32,6 +32,28 @@ def _maxpool3x3(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def decode_centernet_with_extras(
+    heatmap: jnp.ndarray,
+    offset: jnp.ndarray,
+    size: jnp.ndarray,
+    stride: int,
+    extras: "dict[str, jnp.ndarray]",
+    top_k: int = 100,
+    from_logits: bool = True,
+):
+    """decode_centernet + gather of extra dense maps (3D heads) at the peaks.
+
+    extras: {name: (B, Hs, Ws, C)} → returns (Detections, {name: (B, K, C)}).
+    """
+    det, pix = _decode_core(heatmap, offset, size, stride, top_k, from_logits)
+    B, Hs, Ws, _ = heatmap.shape
+    out = {}
+    for name, m in extras.items():
+        flat = m.reshape(B, Hs * Ws, m.shape[-1])
+        out[name] = jnp.take_along_axis(flat, pix[..., None], axis=1)
+    return det, out
+
+
 def decode_centernet(
     heatmap: jnp.ndarray,
     offset: jnp.ndarray,
@@ -46,6 +68,10 @@ def decode_centernet(
     offset  : (B, Hs, Ws, 2) sub-pixel center offsets (x, y).
     size    : (B, Hs, Ws, 2) box (w, h) in output-stride units.
     """
+    return _decode_core(heatmap, offset, size, stride, top_k, from_logits)[0]
+
+
+def _decode_core(heatmap, offset, size, stride, top_k, from_logits):
     B, Hs, Ws, C = heatmap.shape
     prob = jax.nn.sigmoid(heatmap) if from_logits else heatmap
 
@@ -71,7 +97,7 @@ def decode_centernet(
     h = sz[..., 1] * stride
 
     boxes = jnp.stack([cx - w * 0.5, cy - h * 0.5, cx + w * 0.5, cy + h * 0.5], -1)
-    return Detections(boxes, scores, cls)
+    return Detections(boxes, scores, cls), pix
 
 
 def semseg_argmax(logits: jnp.ndarray) -> jnp.ndarray:

@@ -17,7 +17,7 @@ All shapes static: objects are padded to ``max_objects`` with a validity mask
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,9 @@ class CenternetTargets(NamedTuple):
     # Per-object views (for losses that gather instead of densify):
     indices: jnp.ndarray  # (K,) flat center index y*Ws+x (0 where invalid)
     valid: jnp.ndarray    # (K,) bool
+    # Optional extra dense regression maps scattered at centers (3D targets:
+    # depth3d (1), dims3d (3), rot (2) — SURVEY.md §2 "CenterNet processor").
+    extras: Dict[str, jnp.ndarray] = {}
 
 
 def render_centernet_targets(
@@ -70,12 +73,15 @@ def render_centernet_targets(
     map_hw: Tuple[int, int],
     num_classes: int,
     min_overlap: float = 0.7,
+    extra_values: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> CenternetTargets:
     """Render CenterNet GT for one image.
 
     boxes   : (K, 4) [x0, y0, x1, y1] in OUTPUT-map (stride-divided) coords.
     classes : (K,) int32 class ids in [0, num_classes).
     valid   : (K,) bool — padding mask (static K = max_objects).
+    extra_values : optional {name: (K, C)} per-object regressands scattered
+        densely at the integer centers (3D detection targets etc.).
     """
     Hs, Ws = map_hw
     K = boxes.shape[0]
@@ -130,11 +136,30 @@ def render_centernet_targets(
         jnp.zeros((Hs * Ws,), jnp.float32).at[flat_or_oob].set(1.0, mode="drop")
     ).reshape(Hs, Ws)
 
-    return CenternetTargets(heatmap, offset, size, mask, flat, valid)
+    extras = {}
+    if extra_values:
+        for name, vals in extra_values.items():
+            C = vals.shape[-1]
+            extras[name] = (
+                jnp.zeros((Hs * Ws, C), jnp.float32)
+                .at[flat_or_oob]
+                .set(vals.astype(jnp.float32), mode="drop")
+            ).reshape(Hs, Ws, C)
+
+    return CenternetTargets(heatmap, offset, size, mask, flat, valid, extras)
 
 
-def render_centernet_targets_batch(boxes, classes, valid, map_hw, num_classes, min_overlap=0.7):
-    """vmapped batch variant: boxes (B, K, 4), classes (B, K), valid (B, K)."""
+def render_centernet_targets_batch(
+    boxes, classes, valid, map_hw, num_classes, min_overlap=0.7, extra_values=None
+):
+    """vmapped batch variant: boxes (B, K, 4), classes (B, K), valid (B, K);
+    extra_values {name: (B, K, C)}."""
+    if extra_values:
+        return jax.vmap(
+            lambda b, c, v, e: render_centernet_targets(
+                b, c, v, map_hw, num_classes, min_overlap, e
+            )
+        )(boxes, classes, valid, extra_values)
     return jax.vmap(
         lambda b, c, v: render_centernet_targets(b, c, v, map_hw, num_classes, min_overlap)
     )(boxes, classes, valid)

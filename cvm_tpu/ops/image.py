@@ -323,6 +323,34 @@ def photometric_augment(
     return jnp.clip(img, 0.0, 255.0)
 
 
+def yuv_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Full-range JFIF YCbCr → RGB (matches libjpeg's color convert).
+
+    y/u/v: (..., H, W) float planes on the 0..255 scale (chroma already
+    resampled to luma resolution). Returns (..., H, W, 3) float32.
+    """
+    cb = u - 128.0
+    cr = v - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def chroma_roi(roi: Roi) -> Roi:
+    """Map a luma-space Roi to 4:2:0 chroma-plane coordinates.
+
+    With JFIF chroma siting (chroma sample centered on each 2x2 luma block),
+    the half-pixel algebra reduces exactly to halving the source window.
+    """
+    return roi._replace(
+        src_y0=roi.src_y0 * 0.5,
+        src_x0=roi.src_x0 * 0.5,
+        src_h=roi.src_h * 0.5,
+        src_w=roi.src_w * 0.5,
+    )
+
+
 def normalize_imagenet(image: jnp.ndarray) -> jnp.ndarray:
     """(x - mean) / std with ImageNet stats on the 0..255 scale."""
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)

@@ -16,11 +16,13 @@ import jax.numpy as jnp
 
 from cvm_tpu.ops.image import (
     Roi,
+    chroma_roi,
     jittered_roi,
     letterbox_roi,
     normalize_pm1,
     photometric_augment,
     sample_bilinear,
+    yuv_to_rgb,
 )
 
 
@@ -75,6 +77,52 @@ def preprocess_image_batch(
     out = jax.vmap(one)(images, image_hw, rois)
     if train:
         pkeys = jax.random.split(key_photo, images.shape[0])
+        out = jax.vmap(
+            lambda k, im: photometric_augment(
+                k, im, aug.brightness, aug.contrast, aug.saturation, aug.hue
+            )
+        )(pkeys, out)
+    return normalize_pm1(out), rois
+
+
+def preprocess_yuv420_batch(
+    key: Optional[jax.Array],
+    y: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    image_hw: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    train: bool,
+    aug: AugConfig = AugConfig(),
+) -> Tuple[jnp.ndarray, Roi]:
+    """Planar YUV420 batch → (B, H, W, 3) pm1 float, rois.
+
+    Bandwidth-optimal input path: the host ships the JPEG's native 4:2:0
+    planes (1.5 B/px, half of RGB) and this op fuses chroma resampling,
+    YCbCr→RGB conversion, letterbox/augment geometry, photometric jitter and
+    normalization into the jitted program. Luma and chroma are resampled
+    straight to output resolution through the same ROI (chroma via the
+    half-space ROI), so no intermediate full-res YUV is ever materialized.
+    """
+    if train:
+        key_roi, key_photo = jax.random.split(key)
+    else:
+        key_roi = key_photo = None
+    rois = make_rois(key_roi, image_hw, out_hw, train, aug)
+
+    def one(yp, up, vp, hw, roi):
+        h, w = hw[0], hw[1]
+        croi = chroma_roi(roi)
+        yr = sample_bilinear(yp[..., None], roi, out_hw, valid_hw=(h, w), pad_value=0.0)
+        ch = (h + 1) // 2
+        cw = (w + 1) // 2
+        ur = sample_bilinear(up[..., None], croi, out_hw, valid_hw=(ch, cw), pad_value=128.0)
+        vr = sample_bilinear(vp[..., None], croi, out_hw, valid_hw=(ch, cw), pad_value=128.0)
+        return yuv_to_rgb(yr[..., 0], ur[..., 0], vr[..., 0])
+
+    out = jax.vmap(one)(y, u, v, image_hw, rois)
+    if train:
+        pkeys = jax.random.split(key_photo, y.shape[0])
         out = jax.vmap(
             lambda k, im: photometric_augment(
                 k, im, aug.brightness, aug.contrast, aug.saturation, aug.hue
