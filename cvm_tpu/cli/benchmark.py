@@ -1,0 +1,147 @@
+"""Benchmark harness for the BASELINE.json measurement configs A–E.
+
+``python -m cvm_tpu.cli.benchmark [--configs A,B,C,D,E] [--iters N]``
+
+A: semseg 640x256 batch 1 (PR1 ref config)      C: depth KITTI-ish
+B: centernet COCO 512x512 batch 8 (headline)    D: multitask NuScenes-ish
+E: dmds two-frame + pose + warping loss (training step benchmarked, since
+   the warping loss is the workload; BASELINE.json:11)
+
+Prints one JSON line per config: images/sec + p50 latency for the e2e
+inference pipeline (preprocess+forward+decode in one jitted program), or
+steps/sec for E's train step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench_infer(spec_name, cfg, iters=20, warmup=3):
+    import jax
+    import jax.numpy as jnp
+
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.infer.pipeline import InferencePipeline
+    from cvm_tpu.models import get_model
+
+    spec = get_model(spec_name)
+    model = spec.create_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, *cfg.input_hw, 6 if spec_name == "dmds" else 3), np.float32),
+        train=False,
+    )
+    pipe = InferencePipeline(spec, cfg, variables)
+
+    rng = np.random.default_rng(0)
+    pad = (int(cfg.input_hw[0] * 1.5) // 2 * 2, int(cfg.input_hw[1] * 1.5) // 2 * 2)
+    batches = [
+        synthetic_batch(rng, cfg.batch_size, pad, num_classes=5,
+                        two_frame=(spec_name == "dmds"))
+        for _ in range(3)
+    ]
+    for b in batches[:warmup] or batches[:1]:
+        jax.block_until_ready(pipe(b))
+
+    t0 = time.perf_counter()
+    outs = [pipe(batches[i % 3]) for i in range(iters)]
+    jax.block_until_ready(outs)
+    t_pipe = (time.perf_counter() - t0) / iters
+
+    lat = []
+    for i in range(max(iters // 3, 3)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(pipe(batches[i % 3]))
+        lat.append(time.perf_counter() - t0)
+    return {
+        "images_per_sec": round(cfg.batch_size / t_pipe, 2),
+        "p50_latency_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+        "batch_size": cfg.batch_size,
+    }
+
+
+def _bench_train_step(spec_name, cfg, iters=10, warmup=2):
+    import jax
+
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model(spec_name)
+    trainer = Trainer(spec, cfg)
+    rng = np.random.default_rng(0)
+    pad = (int(cfg.input_hw[0] * 1.5) // 2 * 2, int(cfg.input_hw[1] * 1.5) // 2 * 2)
+    batch = synthetic_batch(rng, cfg.batch_size, pad, num_classes=5,
+                            two_frame=(spec_name == "dmds"))
+    trainer.init_state(batch)
+    b = jax.tree.map(lambda x: jax.device_put(x, trainer._batch_sh), batch)
+    for _ in range(warmup):
+        trainer.key, sub = jax.random.split(trainer.key)
+        trainer.state, m = trainer.train_step(trainer.state, b, sub)
+    jax.block_until_ready(trainer.state.params)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        trainer.key, sub = jax.random.split(trainer.key)
+        trainer.state, m = trainer.train_step(trainer.state, b, sub)
+    jax.block_until_ready(trainer.state.params)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "steps_per_sec": round(1.0 / dt, 2),
+        "images_per_sec": round(cfg.batch_size / dt, 2),
+        "batch_size": cfg.batch_size,
+    }
+
+
+def _configs():
+    from cvm_tpu.models import get_model
+
+    return {
+        # BASELINE.json:7 — semseg 640x256 single image
+        "A": ("semseg", get_model("semseg").params_cls(batch_size=1), "infer"),
+        # BASELINE.json:8 — CenterNet COCO 512x512 batch 8 (headline)
+        "B": ("centernet", get_model("centernet").params_cls(), "infer"),
+        # BASELINE.json:9 — dense depth w/ multi-scale upsampling
+        "C": ("depth", get_model("depth").params_cls(), "infer"),
+        # BASELINE.json:10 — multitask shared-backbone
+        "D": ("multitask", get_model("multitask").params_cls(), "infer"),
+        # BASELINE.json:11 — two-frame DMDS with pose + warping loss
+        "E": ("dmds", get_model("dmds").params_cls(), "train"),
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--configs", default="A,B,C,D,E")
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    cfgs = _configs()
+    for key in args.configs.split(","):
+        key = key.strip().upper()
+        spec_name, cfg, mode = cfgs[key]
+        if mode == "train":
+            res = _bench_train_step(spec_name, cfg, iters=max(args.iters // 2, 5))
+        else:
+            res = _bench_infer(spec_name, cfg, iters=args.iters)
+        res.update({"config": key, "model": spec_name, "mode": mode,
+                    "input_hw": list(cfg.input_hw)})
+        print(json.dumps(res), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from cvm_tpu.models.centernet.params import CenternetParams
 from cvm_tpu.ops.heatmap import CenternetTargets, render_centernet_targets_batch
 from cvm_tpu.ops.image import map_boxes_to_output
-from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_image_batch
+from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_batch
 
 
 def make_processor(params: CenternetParams, train: bool):
@@ -33,9 +33,7 @@ def make_processor(params: CenternetParams, train: bool):
     use_pallas = params.use_pallas_splat and is_tpu_backend()
 
     def process(key, batch) -> Tuple[jnp.ndarray, CenternetTargets]:
-        images, rois = preprocess_image_batch(
-            key, batch["image"], batch["image_hw"], out_hw, train, aug
-        )
+        images, rois = preprocess_batch(key, batch, out_hw, train, aug)
         boxes = (
             jax.vmap(lambda bx, roi: map_boxes_to_output(bx, roi, out_hw[1]))(
                 batch["boxes"], rois

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from cvm_tpu.models.depth.params import DepthParams
 from cvm_tpu.ops.image import sample_nearest
-from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_image_batch
+from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_batch
 
 
 def make_processor(params: DepthParams, train: bool):
@@ -21,9 +21,7 @@ def make_processor(params: DepthParams, train: bool):
     out_hw = params.input_hw
 
     def process(key, batch):
-        images, rois = preprocess_image_batch(
-            key, batch["image"], batch["image_hw"], out_hw, train, aug
-        )
+        images, rois = preprocess_batch(key, batch, out_hw, train, aug)
 
         def one(d, hw, roi):
             return sample_nearest(d, roi, out_hw, valid_hw=(hw[0], hw[1]), pad_value=0.0)

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from cvm_tpu.models.multitask.params import MultitaskParams
 from cvm_tpu.ops.heatmap import render_centernet_targets_batch
 from cvm_tpu.ops.image import map_boxes_to_output, sample_nearest
-from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_image_batch
+from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_batch
 
 
 def make_processor(params: MultitaskParams, train: bool):
@@ -16,9 +16,7 @@ def make_processor(params: MultitaskParams, train: bool):
     out_hw = params.input_hw
 
     def process(key, batch):
-        images, rois = preprocess_image_batch(
-            key, batch["image"], batch["image_hw"], out_hw, train, aug
-        )
+        images, rois = preprocess_batch(key, batch, out_hw, train, aug)
 
         boxes = (
             jax.vmap(lambda bx, roi: map_boxes_to_output(bx, roi, out_hw[1]))(

@@ -1,0 +1,55 @@
+"""Parameter sharding rules (tensor-parallel hooks).
+
+The zoo's convnets are far below the size where TP pays (SURVEY.md §2 marks
+it low priority), so the default is full replication — but the mesh carries a
+"model" axis and this module gives TP a real API instead of a re-plumb:
+regex rules map parameter paths to PartitionSpecs, resolved against the mesh
+and applied with device_put/with_sharding_constraint.
+
+Example:
+    rules = [
+        (r".*/hm/out/kernel$",  P(None, None, None, "model")),  # shard C_out
+        (r".*/fc\\d+/kernel$",  P(None, "model")),
+    ]
+    shardings = make_param_shardings(params, mesh, rules)
+    params = jax.tree.map(jax.device_put, params, shardings)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, List, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Rules = Sequence[Tuple[str, P]]
+
+
+def _flatten_with_paths(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    paths = ["/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+             for path, _ in flat]
+    leaves = [leaf for _, leaf in flat]
+    return paths, leaves, treedef
+
+
+def make_param_shardings(params: Any, mesh: Mesh, rules: Rules = ()) -> Any:
+    """Pytree of NamedShardings: first matching rule wins, else replicated."""
+    paths, leaves, treedef = _flatten_with_paths(params)
+    compiled = [(re.compile(pat), spec) for pat, spec in rules]
+    out = []
+    for path, leaf in zip(paths, leaves):
+        spec = P()
+        for pat, s in compiled:
+            if pat.search(path):
+                spec = s
+                break
+        out.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def shard_params(params: Any, mesh: Mesh, rules: Rules = ()) -> Any:
+    """Device-put params with rule-derived shardings (replicated default)."""
+    shardings = make_param_shardings(params, mesh, rules)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -85,6 +85,29 @@ def preprocess_image_batch(
     return normalize_pm1(out), rois
 
 
+def preprocess_batch(
+    key: Optional[jax.Array],
+    batch,
+    out_hw: Tuple[int, int],
+    train: bool,
+    aug: AugConfig = AugConfig(),
+) -> Tuple[jnp.ndarray, Roi]:
+    """Dispatch on the loader's wire format: RGB buffers or YUV420 planes.
+
+    Lets every training processor consume either ``{"image", "image_hw"}``
+    or ``{"y", "u", "v", "image_hw"}`` batches (RecordLoader
+    output_format="yuv420" halves host→device bandwidth for training too).
+    """
+    if "y" in batch:
+        return preprocess_yuv420_batch(
+            key, batch["y"], batch["u"], batch["v"], batch["image_hw"],
+            out_hw, train, aug,
+        )
+    return preprocess_image_batch(
+        key, batch["image"], batch["image_hw"], out_hw, train, aug
+    )
+
+
 def preprocess_yuv420_batch(
     key: Optional[jax.Array],
     y: jnp.ndarray,

@@ -45,6 +45,28 @@ def test_yuv_path_matches_rgb_path(rng):
     assert diff.mean() < 2.0, f"mean diff {diff.mean()}"
 
 
+def test_train_processor_accepts_yuv_batch(rng):
+    """Training processors consume YUV-format loader batches transparently."""
+    from cvm_tpu.models import get_model
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16, class_weights=(1.0, 1.0, 1.0))
+    proc = spec.make_processor(p, train=True)
+    B, Hm, Wm = 2, 48, 48
+    batch = {
+        "y": jnp.asarray(rng.integers(0, 255, (B, Hm, Wm), dtype=np.uint8)),
+        "u": jnp.asarray(rng.integers(0, 255, (B, Hm // 2, Wm // 2), dtype=np.uint8)),
+        "v": jnp.asarray(rng.integers(0, 255, (B, Hm // 2, Wm // 2), dtype=np.uint8)),
+        "image_hw": jnp.asarray([[40, 40], [48, 44]], jnp.int32),
+        "mask": jnp.asarray(rng.integers(0, 3, (B, Hm, Wm), dtype=np.uint8)),
+    }
+    inputs, targets = jax.jit(lambda k, b: proc(k, b))(jax.random.PRNGKey(0), batch)
+    assert inputs.shape == (B, 32, 32, 3)
+    assert float(jnp.abs(inputs).max()) <= 1.0 + 1e-5
+    assert targets["classes"].shape == (B, 32, 32)
+
+
 def test_yuv420_bad_jpeg():
     Y, U, V, hw = decode_jpeg_batch_yuv420([b"garbage"], 64, 64)
     assert tuple(hw[0]) == (1, 1)
