@@ -43,8 +43,10 @@ def _splat_kernel(iy_ref, ix_ref, sigma_ref, radius_ref, cls_ref, valid_ref, out
         sigma = sigma_ref[b, k]
         r = radius_ref[b, k]
         c = cls_ref[b, k]
-        ys = jax.lax.broadcasted_iota(jnp.float32, (Hs, Ws), 0)
-        xs = jax.lax.broadcasted_iota(jnp.float32, (Hs, Ws), 1)
+        # TPU iota is integer-only; cast after (caught on real hardware —
+        # interpret mode accepts float iota).
+        ys = jax.lax.broadcasted_iota(jnp.int32, (Hs, Ws), 0).astype(jnp.float32)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (Hs, Ws), 1).astype(jnp.float32)
         dy2 = (ys - iy) ** 2
         dx2 = (xs - ix) ** 2
         g = jnp.exp(-(dy2 + dx2) / (2.0 * sigma * sigma + 1e-12))
