@@ -18,7 +18,7 @@ import numpy as np
 
 
 def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
-                 batch_size: int = 1, pad_hw=None) -> dict:
+                 batch_size: int = 1, pad_hw=None, quantize: str = "none") -> dict:
     from cvm_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
@@ -66,7 +66,18 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
             else:
                 flat[key] = np.asarray(v)
 
-    _flatten("params", jax.device_get(trainer.state.params))
+    qstats = {}
+    if quantize == "int8":
+        # Weight-only int8 (per-channel): 4x smaller artifact, dequantized to
+        # the MXU compute dtype at load (the reference's int8-export analogue;
+        # SURVEY.md §3.5).
+        from cvm_tpu.infer.quantize import quantization_error, quantize_params
+
+        qparams, qstats = quantize_params(trainer.state.params)
+        qstats["max_rel_error"] = quantization_error(trainer.state.params, qparams)
+        _flatten("params", qparams)
+    else:
+        _flatten("params", jax.device_get(trainer.state.params))
     _flatten("batch_stats", jax.device_get(trainer.state.batch_stats))
     np.savez(os.path.join(out_dir, "weights.npz"), **flat)
     return {
@@ -74,6 +85,8 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
         "stablehlo_bytes": len(blob),
         "num_weights": len(flat),
         "platforms": list(exported.platforms),
+        "weights_bytes": os.path.getsize(os.path.join(out_dir, "weights.npz")),
+        **({"quantize": quantize, **qstats} if quantize != "none" else {}),
     }
 
 
@@ -83,8 +96,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint_dir", required=True)
     parser.add_argument("--out", required=True)
     parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--quantize", choices=["none", "int8"], default="none")
     args = parser.parse_args(argv)
-    stats = export_model(args.model, args.checkpoint_dir, args.out, args.batch_size)
+    stats = export_model(args.model, args.checkpoint_dir, args.out,
+                         args.batch_size, quantize=args.quantize)
     print(json.dumps(stats))
     return 0
 

@@ -1,0 +1,60 @@
+"""Standalone serving runtime: load an exported artifact and run it.
+
+Counterpart of cli/export.py: deserializes the StableHLO program
+(jax.export) and rebuilds the variables pytree from weights.npz (including
+int8-quantized entries, dequantized at load) — no model-zoo code needed at
+serving time. The deserialized program embeds the full device pipeline
+(preprocess + forward + decode).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, arr in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return tree
+
+
+def _dequantize_in_place(tree: Dict[str, Any]):
+    """Collapse {"int8", "scale"} leaves back to fp32 arrays."""
+    for k, v in list(tree.items()):
+        if isinstance(v, dict):
+            if set(v.keys()) == {"int8", "scale"}:
+                tree[k] = v["int8"].astype(np.float32) * v["scale"].astype(np.float32)
+            else:
+                _dequantize_in_place(v)
+    return tree
+
+
+class ServingModel:
+    """Loads {model.stablehlo, weights.npz} and exposes __call__."""
+
+    def __init__(self, artifact_dir: str):
+        from jax import export as jax_export
+
+        with open(os.path.join(artifact_dir, "model.stablehlo"), "rb") as f:
+            self._exported = jax_export.deserialize(bytearray(f.read()))
+
+        with np.load(os.path.join(artifact_dir, "weights.npz")) as z:
+            flat = {k: z[k] for k in z.files}
+        tree = _dequantize_in_place(_unflatten(flat))
+        self.variables = {
+            "params": tree.get("params", {}),
+            "batch_stats": tree.get("batch_stats", {}),
+        }
+
+    def __call__(self, *data_args):
+        """data_args match the export signature after variables (e.g. images,
+        image_hw — or y, u, v, image_hw for a yuv420 export)."""
+        return self._exported.call(self.variables, *data_args)
