@@ -29,3 +29,17 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def get_model(name: str):
+    """Zoo lookup: name → ModelSpec (lazy import keeps bare import cheap)."""
+    from cvm_tpu.models.registry import get_model as _get
+
+    return _get(name)
+
+
+def create_model(name: str, params=None, **overrides):
+    """Convenience: build (model, params) for a zoo entry in one call."""
+    spec = get_model(name)
+    cfg = params if params is not None else spec.params_cls(**overrides)
+    return spec.create_model(cfg), cfg

@@ -8,7 +8,11 @@ Each adapter exposes ``pack(src_dir, out_path, ...)`` and is wired into
 """
 
 from cvm_tpu.data.adapters.coco import pack_coco  # noqa: F401
-from cvm_tpu.data.adapters.kitti import pack_kitti_object, pack_kitti_depth  # noqa: F401
+from cvm_tpu.data.adapters.kitti import (  # noqa: F401
+    pack_kitti_depth,
+    pack_kitti_object,
+    pack_kitti_semseg,
+)
 from cvm_tpu.data.adapters.comma10k import pack_comma10k  # noqa: F401
 from cvm_tpu.data.adapters.nuimages import pack_nuimages  # noqa: F401
 
@@ -16,6 +20,7 @@ ADAPTERS = {
     "coco": pack_coco,
     "kitti": pack_kitti_object,
     "kitti_depth": pack_kitti_depth,
+    "kitti_semseg": pack_kitti_semseg,
     "comma10k": pack_comma10k,
     "nuimages": pack_nuimages,
 }

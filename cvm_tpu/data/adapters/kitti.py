@@ -102,6 +102,61 @@ def pack_kitti_object(
     return {"written": n, "num_classes": len(KITTI_CLASSES)}
 
 
+# Cityscapes labelId → trainId (KITTI semantics uses Cityscapes ids).
+# 255 = ignore. 19 training classes, standard mapping.
+_CITYSCAPES_ID_TO_TRAIN = {
+    7: 0, 8: 1, 11: 2, 12: 3, 13: 4, 17: 5, 19: 6, 20: 7, 21: 8, 22: 9,
+    23: 10, 24: 11, 25: 12, 26: 13, 27: 14, 28: 15, 31: 16, 32: 17, 33: 18,
+}
+KITTI_SEMSEG_CLASSES = (
+    "road", "sidewalk", "building", "wall", "fence", "pole", "traffic_light",
+    "traffic_sign", "vegetation", "terrain", "sky", "person", "rider", "car",
+    "truck", "bus", "train", "motorcycle", "bicycle",
+)
+
+
+def pack_kitti_semseg(
+    src_dir: str,
+    out_path: str,
+    split: str = "training",
+    max_images: Optional[int] = None,
+) -> Dict[str, int]:
+    """KITTI pixel-level semantics (data_semantics): image_2 + semantic PNGs.
+
+    Labels carry Cityscapes ids; remapped to the 19-class train-id space at
+    pack time (255 = ignore), per BASELINE config A's KITTI semseg workload.
+    """
+    img_dir = os.path.join(src_dir, split, "image_2")
+    sem_dir = os.path.join(src_dir, split, "semantic")
+    frames = sorted(
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(img_dir, "*.png"))
+    )
+    lut = np.full(256, 255, np.uint8)
+    for k, v in _CITYSCAPES_ID_TO_TRAIN.items():
+        lut[k] = v
+    n = 0
+    with RecordWriter(out_path) as w:
+        for fid in frames:
+            if max_images is not None and n >= max_images:
+                break
+            spath = os.path.join(sem_dir, f"{fid}.png")
+            if not os.path.exists(spath):
+                continue
+            jpeg, h, wd = read_image_as_jpeg(os.path.join(img_dir, f"{fid}.png"))
+            from PIL import Image
+
+            sem = np.asarray(Image.open(spath))
+            if sem.ndim == 3:
+                sem = sem[..., 0]
+            mask = lut[sem]
+            w.write({"id": fid, "height": h, "width": wd}, {"jpeg": jpeg, "mask": mask})
+            n += 1
+    with open(out_path + ".meta.json", "w") as f:
+        json.dump({"classes": list(KITTI_SEMSEG_CLASSES), "num_records": n}, f)
+    return {"written": n, "num_classes": len(KITTI_SEMSEG_CLASSES)}
+
+
 def pack_kitti_depth(
     image_dir: str,
     depth_dir: str,

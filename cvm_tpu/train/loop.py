@@ -171,13 +171,20 @@ class Trainer:
         return state
 
     def fit(self, data_iter: Iterator, num_steps: int) -> Dict[str, float]:
-        """Run ``num_steps`` training steps; returns the last metrics."""
+        """Run ``num_steps`` training steps; returns the last metrics.
+
+        Host batches are double-buffered onto the device (transfers overlap
+        the previous step's execution — BASELINE "double-buffered input").
+        """
         assert self.state is not None, "call init_state(sample_batch) first"
+        from itertools import islice
+
+        from cvm_tpu.data.loader import prefetch_to_device
+
         last: Dict[str, float] = {}
         t0 = time.perf_counter()
-        for _ in range(num_steps):
-            raw = next(data_iter)
-            raw = jax.tree.map(lambda x: jax.device_put(x, self._batch_sh), raw)
+        batches = prefetch_to_device(islice(data_iter, num_steps), self._batch_sh)
+        for raw in batches:
             self.key, sub = jax.random.split(self.key)
             self.state, metrics = self.train_step(self.state, raw, sub)
             step = int(self.state.step)

@@ -77,6 +77,26 @@ def test_pack_kitti_object(tmp_path, rng):
     assert meta["rot_y"] == [-1.2, 0.3]
 
 
+def test_pack_kitti_semseg(tmp_path, rng):
+    from cvm_tpu.data.adapters import pack_kitti_semseg
+
+    root = tmp_path / "ksem"
+    _save(str(root / "training" / "image_2" / "000000.png"),
+          rng.integers(0, 255, (30, 90, 3), dtype=np.uint8))
+    sem = np.zeros((30, 90), np.uint8)
+    sem[:10] = 7    # road → train id 0
+    sem[10:20] = 26  # car → train id 13
+    sem[20:] = 4    # static → ignore (255)
+    _save(str(root / "training" / "semantic" / "000000.png"), sem)
+
+    out = str(tmp_path / "ks.cvrec")
+    stats = pack_kitti_semseg(str(root), out)
+    assert stats == {"written": 1, "num_classes": 19}
+    _, blobs = RecordReader(out).get(0)
+    m = blobs["mask"]
+    assert (m[:10] == 0).all() and (m[10:20] == 13).all() and (m[20:] == 255).all()
+
+
 def test_pack_comma10k(tmp_path, rng):
     root = tmp_path / "c10k"
     img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
