@@ -24,7 +24,6 @@ import numpy as np
 
 def _bench_infer(spec_name, cfg, iters=20, warmup=3):
     import jax
-    import jax.numpy as jnp
 
     from cvm_tpu.data.synthetic import synthetic_batch
     from cvm_tpu.infer.pipeline import InferencePipeline

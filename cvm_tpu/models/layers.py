@@ -9,7 +9,7 @@ GSPMD the reduction spans the global batch, giving sync-BN for free.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -27,7 +27,7 @@ over HBM) instead of the reference's chain of cv2 calls.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

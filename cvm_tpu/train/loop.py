@@ -10,13 +10,13 @@ gradient/batch-norm reductions become ICI collectives automatically.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Any, Callable, Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from cvm_tpu.models.registry import ModelSpec
 from cvm_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
