@@ -118,6 +118,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--configs", default="A,B,C,D,E")
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--train", action="store_true",
+                        help="benchmark the training step instead of inference")
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="override the config's batch size")
     args = parser.parse_args(argv)
 
     import jax
@@ -131,7 +135,13 @@ def main(argv=None):
     cfgs = _configs()
     for key in args.configs.split(","):
         key = key.strip().upper()
+        if key not in cfgs:
+            parser.error(f"unknown config {key!r}; choose from {sorted(cfgs)}")
         spec_name, cfg, mode = cfgs[key]
+        if args.train:
+            mode = "train"
+        if args.batch_size:
+            cfg = cfg.replace(batch_size=args.batch_size)
         if mode == "train":
             res = _bench_train_step(spec_name, cfg, iters=max(args.iters // 2, 5))
         else:

@@ -36,7 +36,11 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
     cfg = load_params_cfg(checkpoint_dir, spec.params_cls)
     trainer = Trainer(spec, cfg, checkpoint_dir=checkpoint_dir)
     trainer.init_state()
-    variables = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
+    # Host round-trip strips mesh shardings so the artifact is single-device
+    # portable (serving replication is the runtime's concern, not the export's).
+    variables = jax.device_get(
+        {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
+    )
 
     pad_hw = pad_hw or (int(cfg.input_hw[0] * 1.5), int(cfg.input_hw[1] * 1.5))
     pipe = InferencePipeline(spec, cfg, variables)

@@ -55,6 +55,7 @@ class InferencePipeline:
         variables: Dict[str, Any],
         mesh=None,
         input_format: str = "rgb",
+        w8a8: bool = False,
     ):
         self.spec = spec
         self.cfg = params_cfg
@@ -64,6 +65,17 @@ class InferencePipeline:
         out_hw = params_cfg.input_hw
         is_dmds = spec.name == "dmds"
 
+        base_apply = self.model.apply
+        if w8a8:
+            from cvm_tpu.infer.quantize import w8a8_inference
+
+            def apply_fn(*a, **kw):
+                with w8a8_inference():
+                    return base_apply(*a, **kw)
+        else:
+            apply_fn = base_apply
+        self._apply = apply_fn
+
         if input_format == "yuv420":
             # Bandwidth-optimal serving path: host ships 4:2:0 planes
             # (half the bytes of RGB); chroma upsample + color conversion
@@ -72,7 +84,7 @@ class InferencePipeline:
                 proc, rois = preprocess_yuv420_batch(
                     None, y, u, v, image_hw, out_hw, train=False
                 )
-                out = self.model.apply(variables, proc, train=False)
+                out = self._apply(variables, proc, train=False)
                 return _postprocess(spec.name, params_cfg, out, rois)
 
             n_data_args = 4
@@ -84,7 +96,7 @@ class InferencePipeline:
                         None, images_t1, image_hw, out_hw, train=False
                     )
                     proc = jnp.concatenate([proc, proc_b], axis=-1)
-                out = self.model.apply(variables, proc, train=False)
+                out = self._apply(variables, proc, train=False)
                 return _postprocess(spec.name, params_cfg, out, rois)
 
             n_data_args = 3 if is_dmds else 2

@@ -76,6 +76,72 @@ def dequantize_params(qparams: Any, dtype=jnp.float32) -> Any:
     return visit(qparams)
 
 
+# ---------------------------------------------------------------------------
+# Full W8A8 int8 inference (dynamic activation quantization).
+#
+# A flax method interceptor swaps every nn.Conv's matmul for an int8 path at
+# apply time — no model-code or checkpoint changes:
+#   x_q = round(x / sx) int8 with per-tensor dynamic sx = max|x|/127
+#   w_q = round(w / sw) int8 with per-output-channel sw
+#   y   = conv(x_q, w_q) accumulated in int32 on the MXU int8 path,
+#         dequantized by sx*sw and biased in fp32.
+# Weight quantization happens inside the jitted program (one elementwise pass
+# over weights, negligible next to the conv); no calibration set is needed.
+#
+# Status: numerically verified on-chip (decoded scores match fp to ~1e-4),
+# but the current backend does NOT lower int8 convolutions onto the MXU int8
+# path (measured 25x slower than bf16 on the dev chip), so this stays opt-in;
+# weight-only int8 (quantize_params) is the production quantization for now.
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+from flax import linen as nn
+
+
+def _int8_conv(mod: "nn.Conv", x):
+    from jax import lax
+
+    kernel = mod.variables["params"]["kernel"]
+    bias = mod.variables["params"].get("bias") if mod.use_bias else None
+
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf)) / 127.0 + 1e-8
+    xq = jnp.round(jnp.clip(xf / sx, -127, 127)).astype(jnp.int8)
+
+    kf = jnp.asarray(kernel, jnp.float32)
+    sw = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1))) / 127.0 + 1e-12
+    wq = jnp.round(jnp.clip(kf / sw, -127, 127)).astype(jnp.int8)
+
+    strides = mod.strides if isinstance(mod.strides, tuple) else (mod.strides, mod.strides)
+    y = lax.conv_general_dilated(
+        xq, wq, window_strides=strides, padding=mod.padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (sx * sw)
+    if bias is not None:
+        y = y + jnp.asarray(bias, jnp.float32)
+    return y.astype(mod.dtype or jnp.float32)
+
+
+def _w8a8_interceptor(next_fn, args, kwargs, context):
+    mod = context.module
+    if isinstance(mod, nn.Conv) and context.method_name == "__call__":
+        try:
+            return _int8_conv(mod, args[0])
+        except (KeyError, TypeError):
+            return next_fn(*args, **kwargs)  # unbound/odd conv → fp path
+    return next_fn(*args, **kwargs)
+
+
+@contextlib.contextmanager
+def w8a8_inference():
+    """Context manager: every nn.Conv inside runs the int8 MXU path."""
+    with nn.intercept_methods(_w8a8_interceptor):
+        yield
+
+
 def quantization_error(params: Any, qparams: Any) -> float:
     """Max relative Frobenius error across quantized tensors (sanity metric)."""
     errs = []

@@ -54,6 +54,51 @@ def decode_centernet_with_extras(
     return det, out
 
 
+class Detections3d(NamedTuple):
+    det: Detections          # 2D boxes/scores/classes
+    centers3d: jnp.ndarray   # (B, K, 3) camera-frame (X, Y, Z) meters
+    dims: jnp.ndarray        # (B, K, 3) (h, w, l) meters
+    yaw: jnp.ndarray         # (B, K) radians
+
+
+def decode_centernet_3d(
+    heatmap: jnp.ndarray,
+    offset: jnp.ndarray,
+    size: jnp.ndarray,
+    depth3d: jnp.ndarray,
+    dims3d: jnp.ndarray,
+    rot: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    stride: int,
+    top_k: int = 100,
+    from_logits: bool = True,
+) -> Detections3d:
+    """Monocular 3D decode: peaks → metric camera-frame 3D boxes.
+
+    depth3d : (B, Hs, Ws, 1) depth head logits (1/sigmoid - 1 param.).
+    dims3d  : (B, Hs, Ws, 3) metric dims; rot (B, Hs, Ws, 2) yaw sin/cos.
+    intrinsics : (B, 4) [fx, fy, cx, cy] in model-input pixels.
+    Back-projection: X = (u - cx) Z / fx, Y = (v - cy) Z / fy with (u, v) the
+    decoded 2D center in input pixels.
+    """
+    det, extras = decode_centernet_with_extras(
+        heatmap, offset, size, stride,
+        {"depth3d": depth3d, "dims3d": dims3d, "rot": rot},
+        top_k, from_logits,
+    )
+    z = 1.0 / jax.nn.sigmoid(extras["depth3d"][..., 0]) - 1.0  # (B, K)
+    u = (det.boxes[..., 0] + det.boxes[..., 2]) * 0.5
+    v = (det.boxes[..., 1] + det.boxes[..., 3]) * 0.5
+    fx = intrinsics[:, 0:1]
+    fy = intrinsics[:, 1:2]
+    cx = intrinsics[:, 2:3]
+    cy = intrinsics[:, 3:4]
+    X = (u - cx) * z / fx
+    Y = (v - cy) * z / fy
+    yaw = jnp.arctan2(extras["rot"][..., 0], extras["rot"][..., 1])
+    return Detections3d(det, jnp.stack([X, Y, z], -1), extras["dims3d"], yaw)
+
+
 def decode_centernet(
     heatmap: jnp.ndarray,
     offset: jnp.ndarray,

@@ -1,0 +1,78 @@
+"""Export → standalone runtime roundtrip in CI (tiny model, CPU)."""
+
+import numpy as np
+import pytest
+
+
+def test_export_and_serving_roundtrip(tmp_path, rng):
+    import jax
+
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+    from cvm_tpu.cli.export import export_model
+    from cvm_tpu.infer.runtime import ServingModel
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16, class_weights=(1.0, 1.0, 1.0),
+                        batch_size=8, warmup_steps=1, total_steps=10)
+    ckdir = str(tmp_path / "ck")
+    tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=1, log_every=1)
+    tr.init_state()
+    import itertools
+
+    pool = [synthetic_batch(np.random.default_rng(0), 8, (48, 48), num_classes=3)]
+    tr.fit(itertools.cycle(pool), 1)
+    tr.ckpt.wait()
+
+    out_fp = str(tmp_path / "art_fp")
+    stats = export_model("semseg", ckdir, out_fp, batch_size=1)
+    assert stats["stablehlo_bytes"] > 1000
+
+    out_q = str(tmp_path / "art_q")
+    qstats = export_model("semseg", ckdir, out_q, batch_size=1, quantize="int8")
+    assert qstats["quantized"] > 5
+    assert qstats["weights_bytes"] < stats["weights_bytes"] / 2
+    assert qstats["max_rel_error"] < 0.02
+
+    img = np.random.default_rng(1).integers(0, 255, (1, 48, 48, 3), dtype=np.uint8)
+    hw = np.asarray([[40, 44]], np.int32)
+    m_fp = ServingModel(out_fp)
+    m_q = ServingModel(out_q)
+    cm_fp = np.asarray(m_fp(img, hw)["class_map"])
+    cm_q = np.asarray(m_q(img, hw)["class_map"])
+    assert cm_fp.shape == (1, 32, 32)
+    assert (cm_fp == cm_q).mean() > 0.9  # int8 barely perturbs argmax
+
+
+def test_decode_3d_backprojection(rng):
+    import jax.numpy as jnp
+
+    from cvm_tpu.ops.decode import decode_centernet_3d
+
+    Hs = Ws = 16
+    stride = 4
+    hm = jnp.zeros((1, Hs, Ws, 1)).at[0, 8, 10, 0].set(1.0)
+    off = jnp.zeros((1, Hs, Ws, 2))
+    sz = jnp.ones((1, Hs, Ws, 2))
+    # depth head value for Z=20: logit = -log(1/sigmoid_inv)… use inverse:
+    # z = 1/sigmoid(x) - 1 → sigmoid(x) = 1/(z+1) → x = log(1/(z+1)/(1-1/(z+1)))
+    import numpy as np
+
+    Z = 20.0
+    s = 1.0 / (Z + 1.0)
+    x = float(np.log(s / (1 - s)))
+    dep = jnp.full((1, Hs, Ws, 1), x)
+    dims = jnp.broadcast_to(jnp.asarray([1.5, 1.6, 3.9]), (1, Hs, Ws, 3))
+    rot = jnp.zeros((1, Hs, Ws, 2)).at[..., 1].set(1.0)  # yaw 0
+    intr = jnp.asarray([[100.0, 100.0, 32.0, 32.0]])
+
+    d3 = decode_centernet_3d(hm, off, sz, dep, dims, rot, intr, stride=stride,
+                             top_k=3, from_logits=False)
+    c = np.asarray(d3.centers3d[0, 0])
+    # center pixel u = (10)*4 = 40 → X = (40-32)*20/100 = 1.6
+    assert c[2] == pytest.approx(Z, rel=1e-4)
+    assert c[0] == pytest.approx((40 - 32) * Z / 100.0, rel=1e-4)
+    assert np.asarray(d3.yaw[0, 0]) == pytest.approx(0.0, abs=1e-6)
+    assert np.asarray(d3.dims[0, 0]) == pytest.approx([1.5, 1.6, 3.9])
