@@ -55,7 +55,9 @@ def _assemble_labels(
         out["num_objects"] = nobj
 
     if any("mask" in b for b in blobs):
-        mask = np.zeros((B, Hm, Wm), np.uint8)
+        # 255 = ignore everywhere a sample lacks a mask (or beyond its valid
+        # extent) so unlabeled samples don't train the background class.
+        mask = np.full((B, Hm, Wm), 255, np.uint8)
         for i, b in enumerate(blobs):
             if "mask" in b:
                 m = b["mask"]

@@ -22,6 +22,17 @@ from cvm_tpu.ops.heatmap import (  # noqa: F401
 )
 from cvm_tpu.ops.decode import (  # noqa: F401
     decode_centernet,
+    decode_centernet_3d,
+    decode_centernet_with_extras,
     semseg_argmax,
     colorize_semseg,
+    upsample_bilinear,
+)
+from cvm_tpu.ops.image import chroma_roi, yuv_to_rgb  # noqa: F401
+from cvm_tpu.ops.ssim import ssim  # noqa: F401
+from cvm_tpu.ops.warp import (  # noqa: F401
+    bilinear_sample,
+    euler_to_matrix,
+    scale_intrinsics,
+    warp_frame,
 )
