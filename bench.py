@@ -37,7 +37,7 @@ sys.path.insert(0, REPO)
 _BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
 
-def _make_host_batches(pad_hw, batch_size, n_batches=4, quality=90):
+def _make_host_batches(pad_hw, batch_size, n_batches=12, quality=90):
     """Synthetic road-like scenes → JPEG → native YUV420 planes (+ timing)."""
     from PIL import Image
 

@@ -25,15 +25,34 @@ BACKBONE_SPECS: Dict[str, Tuple[Sequence[int], Sequence[int]]] = {
 }
 
 
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/b, W/b, C·b²) — pure relayout, fuses upstream."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // block, block, W // block, block, C)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        B, H // block, W // block, C * block * block
+    )
+
+
 class Backbone(nn.Module):
     widths: Sequence[int] = BACKBONE_SPECS["small"][0]
     depths: Sequence[int] = BACKBONE_SPECS["small"][1]
+    # RGB stems starve the 128-lane MXU (3/128 channels). Space-to-depth
+    # trades the stride-2 RGB conv for a stride-1 conv on 12 channels at the
+    # same output resolution — identical receptive geometry, 4x better lane
+    # utilization (profiled as the single largest fusion of the e2e step).
+    space_to_depth_stem: bool = True
     dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         feats = {}
-        x = ConvBN(self.widths[0], 3, stride=2, name="stem")(x, train)
+        if self.space_to_depth_stem:
+            x = ConvBN(self.widths[0], 3, stride=1, name="stem")(
+                space_to_depth(x, 2), train
+            )
+        else:
+            x = ConvBN(self.widths[0], 3, stride=2, name="stem")(x, train)
         feats["c1"] = x
         for i, (w, d) in enumerate(zip(self.widths[1:], self.depths)):
             x = ConvBN(w, 3, stride=2, name=f"down{i + 2}")(x, train)

@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Full CI sweep: unit/integration tests (forced-CPU 8-device mesh), the
+# multi-chip dry-run, and a single-chip bench smoke. Run from the repo root.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== tests =="
+python -m pytest tests/ -q
+
+echo "== multichip dryrun (8 virtual CPU devices) =="
+python __graft_entry__.py
+
+echo "== bench (real chip if available) =="
+python bench.py
+
+echo "CI OK"
