@@ -1,30 +1,94 @@
-"""Accuracy demo: train CenterNet from scratch on synthetic scenes (real TPU)
-and evaluate COCO-style mAP end-to-end. Round-1 result on v5e-1: 2000 steps
-in 408 s -> mAP 0.681 / mAP50 0.915 / mAP75 0.703 on held-out scenes.
+"""Accuracy demos: train any zoo model from scratch on synthetic scenes (real
+TPU) and evaluate end-to-end through the on-device decode + evaluators.
+
+    PYTHONPATH=.:$PYTHONPATH python benchmarks/accuracy_demo.py --model centernet --steps 2000
+
+Round-1 results on v5e-1 (held-out synthetic scenes):
+    centernet  2000 steps / 408 s : mAP 0.681 / mAP50 0.915 / mAP75 0.703
+    semseg     1200 steps / 414 s : mIoU 0.937, pixel acc 0.990
+    depth      1200 steps / 320 s : abs_rel 0.21, delta1 0.77
+    multitask  2000 steps / 751 s : mAP 0.692 / mIoU 0.931 / delta1 0.80
+    dmds       1500 steps / 587 s : photometric 1.41 -> 0.79 (scale-free toy
+                                    motion; geometry pinned by the pose test)
 """
-import os, sys, time, itertools
+
+import argparse
+import itertools
+import os
+import sys
+import time
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import numpy as np, jax
-jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
-from cvm_tpu.models import get_model
-from cvm_tpu.train.loop import Trainer
-from cvm_tpu.train.evaluate import evaluate_model
-from cvm_tpu.data.synthetic import synthetic_batch
 
-spec = get_model("centernet")
-p = spec.params_cls(input_hw=(128,128), num_classes=3, max_objects=8, backbone="tiny",
-                    neck_features=32, head_features=16, batch_size=32,
-                    learning_rate=1e-3, warmup_steps=100, total_steps=2000)
-trainer = Trainer(spec, p, metrics_path=os.environ.get("ACC_DEMO_METRICS", "/tmp/acc_demo/metrics.jsonl"), log_every=100)
-rng = np.random.default_rng(0)
-pool = [synthetic_batch(rng, 32, (192,192), num_classes=3, max_objects=8) for _ in range(40)]
-trainer.init_state(pool[0])
-t0 = time.time()
-trainer.fit(itertools.cycle(pool), 2000)
-print(f"trained 2000 steps in {time.time()-t0:.0f}s", flush=True)
+import numpy as np
 
-variables = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
-val = [synthetic_batch(np.random.default_rng(123), 16, (192,192), num_classes=3, max_objects=8) for _ in range(8)]
-m = evaluate_model(spec, p, variables, val)
-print("EVAL:", {k: round(v,4) for k,v in m.items()}, flush=True)
+
+def make_params(name):
+    from cvm_tpu.models import get_model
+
+    spec = get_model(name)
+    common = dict(input_hw=(128, 128), backbone="tiny", batch_size=32,
+                  learning_rate=1e-3, warmup_steps=100, total_steps=2000)
+    per = {
+        "centernet": dict(num_classes=3, max_objects=8, neck_features=32, head_features=16),
+        "semseg": dict(num_classes=3, decoder_features=16, class_weights=(1.0, 1.0, 1.0)),
+        "depth": dict(decoder_features=16, num_scales=2),
+        "multitask": dict(neck_features=32, head_features=16, num_det_classes=3,
+                          num_seg_classes=3, class_weights=(1.0, 1.0, 1.0), max_objects=8),
+        "dmds": dict(decoder_features=16, motion_features=32, batch_size=16,
+                     learning_rate=2e-4),
+    }
+    kw = dict(common)
+    kw.update(per[name])
+    return spec, spec.params_cls(**kw)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", default="centernet",
+                        choices=["centernet", "semseg", "depth", "multitask", "dmds"])
+    parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--pool", type=int, default=40, help="distinct train batches cycled")
+    parser.add_argument("--metrics", default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.train.evaluate import evaluate_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec, p = make_params(args.model)
+    two_frame = args.model == "dmds"
+    trainer = Trainer(spec, p, metrics_path=args.metrics, log_every=100)
+    rng = np.random.default_rng(0)
+    pool = [
+        synthetic_batch(rng, p.batch_size, (192, 192), num_classes=3, max_objects=8,
+                        two_frame=two_frame)
+        for _ in range(args.pool)
+    ]
+    trainer.init_state()
+    t0 = time.time()
+    m = trainer.fit(itertools.cycle(pool), args.steps)
+    print(f"{args.model}: {args.steps} steps in {time.time() - t0:.0f}s, "
+          f"final {dict((k, round(v, 4)) for k, v in m.items())}", flush=True)
+
+    variables = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
+    val = [
+        synthetic_batch(np.random.default_rng(123), 16, (192, 192), num_classes=3,
+                        max_objects=8, two_frame=two_frame)
+        for _ in range(8)
+    ]
+    ev = evaluate_model(spec, p, variables, val)
+    print(f"{args.model} EVAL:", {k: round(v, 4) for k, v in ev.items()}, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,9 +14,7 @@ from typing import Dict
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cvm_tpu.models.backbones import make_backbone
-from cvm_tpu.models.layers import ConvBN, Head, UpBlock
-from cvm_tpu.models.depth.model import sigmoid_to_depth
+from cvm_tpu.models.layers import ConvBN, Head, UpBlock, upsample2x
 from cvm_tpu.models.dmds.params import DmdsParams
 
 # Scales keep the raw head outputs O(1) while motions are centimeters-radians.
@@ -54,8 +52,6 @@ class MotionNet(nn.Module):
             for i, skip in enumerate(enc[-2::-1]):
                 d = UpBlock(max(f // 2 ** (i + 1), 16), name=f"dec{i}")(d, skip, train)
             res = Head(16, 3, name="resmotion")(d, train)
-            from cvm_tpu.models.layers import upsample2x
-
             out["residual_translation"] = upsample2x(res) * TRANS_SCALE
         return out
 
