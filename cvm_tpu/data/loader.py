@@ -26,15 +26,43 @@ from cvm_tpu.native import decode_jpeg_batch
 _MAX_OBJECTS_DEFAULT = 128
 
 
+def _nearest_resize2d(a: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (no blending — safe for class ids / sparse GT)."""
+    ys = np.minimum((np.arange(out_h) * (a.shape[0] / out_h)).astype(np.int64), a.shape[0] - 1)
+    xs = np.minimum((np.arange(out_w) * (a.shape[1] / out_w)).astype(np.int64), a.shape[1] - 1)
+    return a[ys][:, xs]
+
+
+def _label_scales(
+    metas: List[Dict[str, Any]], decoded_hw: np.ndarray
+) -> Optional[np.ndarray]:
+    """Per-sample (sy, sx) mapping original-pixel labels → decoded-frame pixels.
+
+    The native feeder DCT-downscales JPEGs larger than the pad buffer by
+    1/2..1/8 (jpeg_feeder.cc); labels are stored in original pixels, so
+    geometry must follow the decoded frame. None if every scale is 1.
+    """
+    B = len(metas)
+    scales = np.ones((B, 2), np.float64)
+    for i, m in enumerate(metas):
+        mh, mw = m.get("height"), m.get("width")
+        dh, dw = int(decoded_hw[i, 0]), int(decoded_hw[i, 1])
+        if mh and mw and (dh, dw) != (1, 1) and (dh != mh or dw != mw):
+            scales[i] = (dh / mh, dw / mw)
+    return scales if (scales != 1.0).any() else None
+
+
 def _assemble_labels(
     metas: List[Dict[str, Any]],
     blobs: List[Dict[str, Any]],
     pad_hw: Tuple[int, int],
     max_objects: int,
+    decoded_hw: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     B = len(metas)
     Hm, Wm = pad_hw
     out: Dict[str, np.ndarray] = {}
+    scales = _label_scales(metas, decoded_hw) if decoded_hw is not None else None
 
     boxes = np.zeros((B, max_objects, 4), np.float32)
     classes = np.zeros((B, max_objects), np.int32)
@@ -45,7 +73,11 @@ def _assemble_labels(
         if bx:
             any_boxes = True
             n = min(len(bx), max_objects)
-            boxes[i, :n] = np.asarray(bx[:n], np.float32)
+            b = np.asarray(bx[:n], np.float32)
+            if scales is not None:
+                sy, sx = scales[i]
+                b = b * np.asarray([sx, sy, sx, sy], np.float32)
+            boxes[i, :n] = b
             cl = m.get("classes", [0] * n)
             classes[i, :n] = np.asarray(cl[:n], np.int32)
             nobj[i] = n
@@ -54,13 +86,27 @@ def _assemble_labels(
         out["classes"] = classes
         out["num_objects"] = nobj
 
+    def _fit(i: int, a: np.ndarray) -> np.ndarray:
+        """Align a dense per-pixel label to the decoded frame / pad buffer."""
+        if decoded_hw is not None:
+            dh, dw = int(decoded_hw[i, 0]), int(decoded_hw[i, 1])
+            if (dh, dw) != (1, 1) and a.shape[:2] != (dh, dw):
+                a = _nearest_resize2d(a, dh, dw)
+        if a.shape[0] > Hm or a.shape[1] > Wm:
+            raise ValueError(
+                f"dense label {a.shape[:2]} exceeds pad buffer {(Hm, Wm)} for "
+                f"sample {metas[i].get('id', i)!r}; raise pad_hw or re-pack "
+                "with smaller images"
+            )
+        return a
+
     if any("mask" in b for b in blobs):
         # 255 = ignore everywhere a sample lacks a mask (or beyond its valid
         # extent) so unlabeled samples don't train the background class.
         mask = np.full((B, Hm, Wm), 255, np.uint8)
         for i, b in enumerate(blobs):
             if "mask" in b:
-                m = b["mask"]
+                m = _fit(i, b["mask"])
                 mask[i, : m.shape[0], : m.shape[1]] = m
         out["mask"] = mask
 
@@ -71,6 +117,7 @@ def _assemble_labels(
                 d = b["depth"]
                 if d.dtype == np.uint16:  # KITTI png convention: depth*256
                     d = d.astype(np.float32) / 256.0
+                d = _fit(i, d)
                 depth[i, : d.shape[0], : d.shape[1]] = d
         out["depth"] = depth
 
@@ -92,6 +139,9 @@ def _assemble_labels(
         intr = np.zeros((B, 4), np.float32)
         for i, m in enumerate(metas):
             intr[i] = np.asarray(m.get("intrinsics", [1.0, 1.0, 0.0, 0.0]), np.float32)
+            if scales is not None:  # [fx, fy, cx, cy] live in pixel units
+                sy, sx = scales[i]
+                intr[i] *= np.asarray([sx, sy, sx, sy], np.float32)
         out["intrinsics"] = intr
     return out
 
@@ -143,8 +193,13 @@ class RecordLoader:
         to_decode = [(i, j) for i, j in enumerate(jpegs) if j is not None]
 
         if self.output_format == "yuv420":
-            from cvm_tpu.native import decode_jpeg_batch_yuv420
+            from cvm_tpu.native import _rgb_to_yuv420_np, decode_jpeg_batch_yuv420
 
+            if any("jpeg_t1" in b or "image_t1" in b for b in blobs):
+                raise ValueError(
+                    "two-frame (jpeg_t1/image_t1) records are not supported in "
+                    "yuv420 output_format; use output_format='rgb' for dmds data"
+                )
             Y = np.zeros((B, Hm, Wm), np.uint8)
             U = np.full((B, Hm // 2, Wm // 2), 128, np.uint8)
             V = np.full((B, Hm // 2, Wm // 2), 128, np.uint8)
@@ -156,8 +211,20 @@ class RecordLoader:
                 for k, (i, _) in enumerate(to_decode):
                     Y[i], U[i], V[i] = dy[k], du[k], dv[k]
                     hw[i] = dhw[k]
+            for i, r in enumerate(raws):
+                if r is not None:  # pre-decoded uint8 HxWx3 blob
+                    h, w = r.shape[:2]
+                    r = r[: h - h % 2, : w - w % 2]  # even extent for 4:2:0
+                    h, w = r.shape[:2]
+                    yq, uq, vq = _rgb_to_yuv420_np(r)
+                    Y[i, :h, :w] = yq
+                    U[i, : h // 2, : w // 2] = uq
+                    V[i, : h // 2, : w // 2] = vq
+                    hw[i] = (h, w)
             batch = {"y": Y, "u": U, "v": V, "image_hw": hw}
-            batch.update(_assemble_labels(metas, blobs, self.pad_hw, self.max_objects))
+            batch.update(
+                _assemble_labels(metas, blobs, self.pad_hw, self.max_objects, decoded_hw=hw)
+            )
             return batch
 
         images = np.zeros((B, Hm, Wm, 3), np.uint8)
@@ -172,11 +239,19 @@ class RecordLoader:
         for i, r in enumerate(raws):
             if r is not None:  # pre-decoded uint8 HxWx3 blob
                 h, w = r.shape[:2]
+                if h > Hm or w > Wm:
+                    raise ValueError(
+                        f"pre-decoded image {(h, w)} exceeds pad buffer {(Hm, Wm)} "
+                        f"for sample {metas[i].get('id', i)!r}; raise pad_hw or "
+                        "re-pack with smaller images"
+                    )
                 images[i, :h, :w] = r
                 hw[i] = (h, w)
 
         batch = {"image": images, "image_hw": hw}
-        batch.update(_assemble_labels(metas, blobs, self.pad_hw, self.max_objects))
+        batch.update(
+            _assemble_labels(metas, blobs, self.pad_hw, self.max_objects, decoded_hw=hw)
+        )
 
         if any("jpeg_t1" in b or "image_t1" in b for b in blobs):
             img1 = np.zeros((B, Hm, Wm, 3), np.uint8)

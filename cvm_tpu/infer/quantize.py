@@ -113,9 +113,16 @@ def _int8_conv(mod: "nn.Conv", x):
     sw = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1))) / 127.0 + 1e-12
     wq = jnp.round(jnp.clip(kf / sw, -127, 127)).astype(jnp.int8)
 
-    strides = mod.strides if isinstance(mod.strides, tuple) else (mod.strides, mod.strides)
+    def _pair(v):
+        if v is None:
+            return (1, 1)
+        return v if isinstance(v, (tuple, list)) else (v, v)
+
     y = lax.conv_general_dilated(
-        xq, wq, window_strides=strides, padding=mod.padding,
+        xq, wq, window_strides=_pair(mod.strides), padding=mod.padding,
+        lhs_dilation=_pair(mod.input_dilation),
+        rhs_dilation=_pair(mod.kernel_dilation),
+        feature_group_count=mod.feature_group_count,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )

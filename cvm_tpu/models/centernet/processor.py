@@ -35,7 +35,7 @@ def make_processor(params: CenternetParams, train: bool):
     def process(key, batch) -> Tuple[jnp.ndarray, CenternetTargets]:
         images, rois = preprocess_batch(key, batch, out_hw, train, aug)
         boxes = (
-            jax.vmap(lambda bx, roi: map_boxes_to_output(bx, roi, out_hw[1]))(
+            jax.vmap(map_boxes_to_output)(
                 batch["boxes"], rois
             )
             / params.stride

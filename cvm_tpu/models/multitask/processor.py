@@ -19,7 +19,7 @@ def make_processor(params: MultitaskParams, train: bool):
         images, rois = preprocess_batch(key, batch, out_hw, train, aug)
 
         boxes = (
-            jax.vmap(lambda bx, roi: map_boxes_to_output(bx, roi, out_hw[1]))(
+            jax.vmap(map_boxes_to_output)(
                 batch["boxes"], rois
             )
             / params.det_stride

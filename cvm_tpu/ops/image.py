@@ -229,22 +229,21 @@ def letterbox(image, h, w, out_hw: Tuple[int, int], pad_value: float = 0.0):
 # ---------------------------------------------------------------------------
 
 
-def map_points_to_output(points: jnp.ndarray, roi: Roi, out_w=None) -> jnp.ndarray:
+def map_points_to_output(points: jnp.ndarray, roi: Roi) -> jnp.ndarray:
     """Map (..., 2) [x, y] points in source-image coords through ``roi``.
 
     Inverse of the sampling map: x_out = (x_src - src_x0) * sx + dst_x0,
-    with horizontal mirroring when roi.flip_x. ``out_w`` (static) is required
-    to mirror flipped points correctly.
+    with horizontal mirroring when roi.flip_x (the mirror only needs the
+    dst window, not the canvas width).
     """
     x, y = points[..., 0], points[..., 1]
     sx = roi.scale_x
     sy = roi.scale_y
     xo = (x - roi.src_x0) * sx + roi.dst_x0
     yo = (y - roi.src_y0) * sy + roi.dst_y0
-    if out_w is not None:
-        # Mirror around the dst window: x' = dst_x0 + (dst_w - (x - dst_x0))
-        xflip = 2.0 * roi.dst_x0 + roi.dst_w - xo
-        xo = jnp.where(roi.flip_x, xflip, xo)
+    # Mirror around the dst window: x' = dst_x0 + (dst_w - (x - dst_x0))
+    xflip = 2.0 * roi.dst_x0 + roi.dst_w - xo
+    xo = jnp.where(roi.flip_x, xflip, xo)
     return jnp.stack([xo, yo], axis=-1)
 
 
@@ -267,10 +266,10 @@ def map_boxes_to_input(boxes: jnp.ndarray, roi: Roi) -> jnp.ndarray:
     return jnp.concatenate([p0, p1], axis=-1)
 
 
-def map_boxes_to_output(boxes: jnp.ndarray, roi: Roi, out_w: int) -> jnp.ndarray:
+def map_boxes_to_output(boxes: jnp.ndarray, roi: Roi) -> jnp.ndarray:
     """Map (..., 4) [x0, y0, x1, y1] boxes through ``roi`` (handles flip)."""
-    p0 = map_points_to_output(boxes[..., 0:2], roi, out_w)
-    p1 = map_points_to_output(boxes[..., 2:4], roi, out_w)
+    p0 = map_points_to_output(boxes[..., 0:2], roi)
+    p1 = map_points_to_output(boxes[..., 2:4], roi)
     x0 = jnp.minimum(p0[..., 0], p1[..., 0])
     x1 = jnp.maximum(p0[..., 0], p1[..., 0])
     y0 = jnp.minimum(p0[..., 1], p1[..., 1])

@@ -183,16 +183,19 @@ class Trainer:
 
         last: Dict[str, float] = {}
         t0 = time.perf_counter()
+        steps_in_window = 0
         batches = prefetch_to_device(islice(data_iter, num_steps), self._batch_sh)
         for raw in batches:
             self.key, sub = jax.random.split(self.key)
             self.state, metrics = self.train_step(self.state, raw, sub)
             step = int(self.state.step)
+            steps_in_window += 1
             if step % self.log_every == 0 or step == 1:
                 last = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                last["steps_per_sec"] = self.log_every / max(dt, 1e-9)
+                last["steps_per_sec"] = steps_in_window / max(dt, 1e-9)
+                steps_in_window = 0
                 if self.metrics_writer is not None:
                     self.metrics_writer.write(step, last)
             if self.ckpt is not None and step % self.checkpoint_every == 0:

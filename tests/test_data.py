@@ -119,3 +119,81 @@ def test_prefetch_to_device(tmp_path, rng):
     assert len(out) == 2
     assert out[0]["image"].shape == (4, 48, 64, 3)
     assert isinstance(out[0]["image"], jax.Array)
+
+def test_loader_rescales_labels_on_decoder_downscale(tmp_path, rng):
+    """Oversized JPEGs are DCT-downscaled by the feeder; labels must follow."""
+    p = str(tmp_path / "big.cvrec")
+    img = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+    mask = rng.integers(0, 5, (200, 300)).astype(np.uint8)
+    depth = rng.uniform(1, 80, (200, 300)).astype(np.float32)
+    meta = {
+        "id": "big0", "height": 200, "width": 300,
+        "boxes": [[40.0, 80.0, 120.0, 160.0]], "classes": [1],
+        "intrinsics": [100.0, 100.0, 150.0, 100.0],
+    }
+    with RecordWriter(p) as w:
+        w.write(meta, {"jpeg": _jpeg_bytes(img), "mask": mask, "depth": depth})
+    ds = RecordDataset([p])
+    loader = RecordLoader(ds, batch_size=1, pad_hw=(64, 80), max_objects=4,
+                          loop=False, shuffle=False)
+    b = next(iter(loader))
+    h, w = b["image_hw"][0]
+    assert (h, w) == (50, 75)  # 1/4 DCT scale
+    np.testing.assert_allclose(b["boxes"][0, 0], [10.0, 20.0, 30.0, 40.0], atol=1e-5)
+    np.testing.assert_allclose(b["intrinsics"][0], [25.0, 25.0, 37.5, 25.0], atol=1e-4)
+    # mask/depth downsampled to the decoded frame, padding untouched
+    assert set(np.unique(b["mask"][0, :50, :75])) <= set(range(5))
+    assert (b["mask"][0, 50:, :] == 255).all() and (b["mask"][0, :, 75:] == 255).all()
+    assert (b["depth"][0, :50, :75] > 0).all()
+    assert (b["depth"][0, 50:, :] == 0).all()
+    # nearest resize preserves exact class ids/depth values
+    assert b["mask"][0, 0, 0] == mask[0, 0]
+    assert b["depth"][0, 0, 0] == depth[0, 0]
+
+
+def test_loader_yuv420_raw_blob_and_two_frame_rejection(tmp_path, rng):
+    p = str(tmp_path / "raw.cvrec")
+    img = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+    with RecordWriter(p) as w:
+        w.write({"id": "r0"}, {"image": img})
+    ds = RecordDataset([p])
+    loader = RecordLoader(ds, batch_size=1, pad_hw=(48, 64), loop=False,
+                          output_format="yuv420", drop_remainder=False)
+    b = next(iter(loader))
+    assert tuple(b["image_hw"][0]) == (40, 60)
+    assert b["y"][0, :40, :60].std() > 1.0  # not a blank frame
+    assert (b["y"][0, 40:, :] == 0).all()
+
+    p2 = str(tmp_path / "two.cvrec")
+    with RecordWriter(p2) as w:
+        w.write({"id": "t0"}, {"jpeg": _jpeg_bytes(img), "jpeg_t1": _jpeg_bytes(img)})
+    loader2 = RecordLoader(RecordDataset([p2]), batch_size=1, pad_hw=(48, 64),
+                           loop=False, output_format="yuv420", drop_remainder=False)
+    with pytest.raises(ValueError, match="yuv420"):
+        next(iter(loader2))
+
+
+def test_loader_aligns_mismatched_dense_labels_to_frame(tmp_path, rng):
+    """A mask at a different resolution than the image snaps to the frame."""
+    p = str(tmp_path / "mismatch.cvrec")
+    img = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+    mask = rng.integers(0, 5, (100, 200)).astype(np.uint8)
+    with RecordWriter(p) as w:
+        w.write({"id": "h0"}, {"image": img, "mask": mask})
+    loader = RecordLoader(RecordDataset([p]), batch_size=1, pad_hw=(48, 64),
+                          loop=False, drop_remainder=False)
+    b = next(iter(loader))
+    assert set(np.unique(b["mask"][0, :40, :60])) <= set(range(5))
+    assert (b["mask"][0, 40:, :] == 255).all() and (b["mask"][0, :, 60:] == 255).all()
+
+
+def test_loader_rejects_oversized_dense_labels(tmp_path, rng):
+    """With no decoded frame to align to, an oversized mask errors loudly."""
+    p = str(tmp_path / "huge.cvrec")
+    mask = rng.integers(0, 5, (100, 200)).astype(np.uint8)
+    with RecordWriter(p) as w:
+        w.write({"id": "h0"}, {"mask": mask})  # no image/jpeg blob
+    loader = RecordLoader(RecordDataset([p]), batch_size=1, pad_hw=(48, 64),
+                          loop=False, drop_remainder=False)
+    with pytest.raises(ValueError, match="exceeds pad buffer"):
+        next(iter(loader))

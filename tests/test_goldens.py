@@ -21,7 +21,7 @@ def test_letterbox_golden():
     out, roi = letterbox(jnp.asarray(_G["src_img"]), 70, 110, (48, 64))
     np.testing.assert_allclose(np.asarray(out), _G["letterboxed"], atol=1e-4)
     boxes = jnp.asarray([[5.0, 10.0, 60.0, 50.0], [30.0, 20.0, 100.0, 65.0]])
-    mapped = map_boxes_to_output(boxes, roi, 64)
+    mapped = map_boxes_to_output(boxes, roi)
     np.testing.assert_allclose(np.asarray(mapped), _G["mapped_boxes"], atol=1e-5)
 
 

@@ -93,7 +93,7 @@ def test_letterbox_never_reads_pad_garbage(rng):
 def test_box_mapping_roundtrip():
     roi = letterbox_roi(100, 200, 64, 64)
     boxes = jnp.asarray([[10.0, 20.0, 110.0, 80.0]])
-    out = np.asarray(map_boxes_to_output(boxes, roi, 64))
+    out = np.asarray(map_boxes_to_output(boxes, roi))
     # scale 0.32, offset x=0, y=16
     np.testing.assert_allclose(out[0], [3.2, 22.4, 35.2, 41.6], atol=1e-4)
 
@@ -106,7 +106,7 @@ def test_flip_mirrors_image_and_boxes(rng):
     b = np.asarray(sample_bilinear(jnp.asarray(img), roi_n, (64, 64)))
     np.testing.assert_allclose(a, b[:, ::-1], atol=1e-3)
     boxes = jnp.asarray([[10.0, 20.0, 30.0, 40.0]])
-    fb = np.asarray(map_boxes_to_output(boxes, roi_f, 64))
+    fb = np.asarray(map_boxes_to_output(boxes, roi_f))
     np.testing.assert_allclose(fb[0], [64 - 30, 20, 64 - 10, 40], atol=1e-4)
 
 
