@@ -80,9 +80,16 @@ def synthetic_batch(
     vary_sizes: bool = True,
     two_frame: bool = False,
     with_3d: bool = False,
+    yuv420: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Batch of scenes padded to ``pad_hw`` (the loader's static buffer shape)."""
+    """Batch of scenes padded to ``pad_hw`` (the loader's static buffer shape).
+
+    ``yuv420=True`` emits the production wire format (planar y/u/v instead
+    of an rgb "image" key), matching RecordLoader(output_format="yuv420").
+    """
     Hm, Wm = pad_hw
+    if yuv420:
+        assert Hm % 2 == 0 and Wm % 2 == 0, "pad size must be even for 4:2:0"
     out: Dict[str, list] = {k: [] for k in
                             ("image", "image_hw", "boxes", "classes", "num_objects", "mask", "depth")}
     if two_frame:
@@ -98,7 +105,11 @@ def synthetic_batch(
             W = int(rng.integers(int(Wm * 0.7), Wm + 1))
         else:
             H, W = Hm, Wm
+        if yuv420:  # even valid extents keep the chroma planes aligned
+            H -= H % 2
+            W -= W % 2
         s = synthetic_sample(rng, (H, W), num_classes, max_objects)
+        s["image_hw"] = np.array([H, W], np.int32)
         img = np.zeros((Hm, Wm, 3), np.uint8)
         img[:H, :W] = s["image"]
         msk = np.zeros((Hm, Wm), np.uint8)
@@ -132,7 +143,15 @@ def synthetic_batch(
             out["intrinsics"].append(
                 np.array([0.9 * W, 0.9 * W, W / 2.0, H / 2.0], np.float32)
             )
-    return {k: np.stack(v) for k, v in out.items()}
+    batch = {k: np.stack(v) for k, v in out.items()}
+    if yuv420:
+        from cvm_tpu.native import _rgb_to_yuv420_np
+
+        planes = [_rgb_to_yuv420_np(im) for im in batch.pop("image")]
+        batch["y"] = np.stack([p[0] for p in planes])
+        batch["u"] = np.stack([p[1] for p in planes])
+        batch["v"] = np.stack([p[2] for p in planes])
+    return batch
 
 
 def synthetic_iterator(

@@ -41,10 +41,19 @@ class ServingModel:
     """Loads {model.stablehlo, weights.npz} and exposes __call__."""
 
     def __init__(self, artifact_dir: str):
+        import json
+
         from jax import export as jax_export
 
         with open(os.path.join(artifact_dir, "model.stablehlo"), "rb") as f:
             self._exported = jax_export.deserialize(bytearray(f.read()))
+
+        meta_path = os.path.join(artifact_dir, "artifact.json")
+        self.meta: Dict[str, Any] = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.meta = json.load(f)
+        self.input_format: str = self.meta.get("input_format", "rgb")
 
         with np.load(os.path.join(artifact_dir, "weights.npz")) as z:
             flat = {k: z[k] for k in z.files}

@@ -89,3 +89,25 @@ def test_evaluate_model_e2e_centernet():
     m = evaluate_model(spec, p, variables, batches)
     assert "mAP" in m and np.isfinite(m["mAP"])
     assert 0.0 <= m["mAP"] <= 1.0
+
+
+def test_evaluate_model_yuv420_wire_format():
+    """The production yuv420 wire format evaluates end-to-end (auto-detected)."""
+    import jax
+
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+
+    spec = get_model("centernet")
+    p = spec.params_cls(input_hw=(64, 64), num_classes=3, max_objects=6,
+                        backbone="tiny", neck_features=32, head_features=16, top_k=20)
+    model = spec.create_model(p)
+    variables = model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=False)
+
+    rng = np.random.default_rng(0)
+    batches = [synthetic_batch(rng, 2, (96, 96), num_classes=3, max_objects=6,
+                               yuv420=True) for _ in range(2)]
+    assert "y" in batches[0] and "image" not in batches[0]
+    m = evaluate_model(spec, p, variables, batches)
+    assert "mAP" in m and np.isfinite(m["mAP"])
+    assert 0.0 <= m["mAP"] <= 1.0

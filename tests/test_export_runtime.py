@@ -76,3 +76,54 @@ def test_decode_3d_backprojection(rng):
     assert c[0] == pytest.approx((40 - 32) * Z / 100.0, rel=1e-4)
     assert np.asarray(d3.yaw[0, 0]) == pytest.approx(0.0, abs=1e-6)
     assert np.asarray(d3.dims[0, 0]) == pytest.approx([1.5, 1.6, 3.9])
+
+
+def test_export_yuv420_serving_roundtrip(tmp_path, rng):
+    """The yuv420 artifact serves the same predictions as the rgb one."""
+    import itertools
+
+    import numpy as np
+
+    from cvm_tpu.cli.export import export_model
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.infer.runtime import ServingModel
+    from cvm_tpu.models import get_model
+    from cvm_tpu.native import _rgb_to_yuv420_np
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16, class_weights=(1.0, 1.0, 1.0),
+                        batch_size=8, warmup_steps=1, total_steps=10)
+    ckdir = str(tmp_path / "ck")
+    tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=30, log_every=10)
+    tr.init_state()
+    pool = [synthetic_batch(np.random.default_rng(0), 8, (48, 48), num_classes=3)]
+    # Overfit the one batch so logits are confident — a near-random model's
+    # tied argmax would flip on the ~1/255 yuv-vs-rgb numeric difference.
+    tr.fit(itertools.cycle(pool), 30)
+    tr.ckpt.wait()
+
+    out_rgb = str(tmp_path / "art_rgb")
+    out_yuv = str(tmp_path / "art_yuv")
+    export_model("semseg", ckdir, out_rgb, batch_size=1)
+    stats = export_model("semseg", ckdir, out_yuv, batch_size=1, input_format="yuv420")
+    assert stats["input_format"] == "yuv420"
+
+    from cvm_tpu.data.synthetic import synthetic_sample
+
+    # A scene like the training data (flat-color rectangles), not per-pixel
+    # noise — 4:2:0 chroma subsampling of noise is not meaningful input.
+    img = synthetic_sample(np.random.default_rng(1), (48, 48), num_classes=3)["image"]
+    hw = np.asarray([[48, 48]], np.int32)
+    y, u, v = _rgb_to_yuv420_np(img)
+
+    m_rgb = ServingModel(out_rgb)
+    m_yuv = ServingModel(out_yuv)
+    assert m_rgb.input_format == "rgb" and m_yuv.input_format == "yuv420"
+    cm_rgb = np.asarray(m_rgb(img[None], hw)["class_map"])
+    cm_yuv = np.asarray(m_yuv(y[None], u[None], v[None], hw)["class_map"])
+    assert cm_yuv.shape == (1, 32, 32)
+    # 4:2:0 chroma subsampling perturbs colors slightly; argmax must agree
+    # on nearly every pixel.
+    assert (cm_rgb == cm_yuv).mean() > 0.85

@@ -12,24 +12,35 @@ from cvm_tpu.train.loop import Trainer
 
 
 def _run_steps(name, p, steps=12, two_frame=False, batch=8):
+    series = _run_series(name, p, steps, two_frame, batch)
+    return series["loss"][0], series["loss"][-1]
+
+
+def _run_series(name, p, steps, two_frame=False, batch=8):
+    """All logged metrics per step, so tests can assert per-head learning."""
     spec = get_model(name)
     trainer = Trainer(spec, p, log_every=1)
     it = synthetic_iterator(0, batch, (96, 128), num_classes=3, max_objects=6, two_frame=two_frame)
     sample = next(it)
     trainer.init_state(sample)
-    first = None
-    last = None
+    series = {}
     for i in range(steps):
         raw = next(it)
         raw = jax.tree.map(lambda x: jax.device_put(x, trainer._batch_sh), raw)
         trainer.key, sub = jax.random.split(trainer.key)
         trainer.state, metrics = trainer.train_step(trainer.state, raw, sub)
-        val = float(metrics["loss"])
-        assert np.isfinite(val), f"step {i}: non-finite loss"
-        if first is None:
-            first = val
-        last = val
-    return first, last
+        for k, v in metrics.items():
+            val = float(v)
+            assert np.isfinite(val), f"step {i}: non-finite {k}"
+            series.setdefault(k, []).append(val)
+    return series
+
+
+def _assert_decreases(series, key, k=3, factor=1.0):
+    """Mean of first k vs last k steps (fresh random batches are noisy)."""
+    head = float(np.mean(series[key][:k]))
+    tail = float(np.mean(series[key][-k:]))
+    assert tail < head * factor, f"{key} did not learn: {head:.4f} -> {tail:.4f}"
 
 
 def test_centernet_loss_decreases():
@@ -61,24 +72,30 @@ def test_depth_loss_decreases():
     assert last < first
 
 
-def test_multitask_one_step_finite():
+def test_multitask_every_head_learns():
+    """Joint loss AND each head's component must decrease (VERDICT r1 #7)."""
     p = get_model("multitask").params_cls(
         input_hw=(64, 64), backbone="tiny", neck_features=32, head_features=16,
-        num_det_classes=3, max_objects=6, learning_rate=5e-4, warmup_steps=2,
+        num_det_classes=3, max_objects=6, learning_rate=1e-3, warmup_steps=2,
         total_steps=200,
     )
-    first, last = _run_steps("multitask", p, steps=6)
-    assert np.isfinite(last)
+    s = _run_series("multitask", p, steps=16)
+    _assert_decreases(s, "loss")
+    _assert_decreases(s, "loss_det")
+    _assert_decreases(s, "loss_seg")
+    _assert_decreases(s, "loss_depth")
 
 
-def test_dmds_loss_decreases():
+def test_dmds_photometric_learns():
+    """The photometric head (the supervision signal) must decrease, not just
+    stay finite (VERDICT r1 #7)."""
     p = get_model("dmds").params_cls(
         input_hw=(64, 64), backbone="tiny", decoder_features=16,
         motion_features=32, learning_rate=5e-4, warmup_steps=2, total_steps=200,
     )
-    first, last = _run_steps("dmds", p, steps=8, two_frame=True)
-    assert np.isfinite(last)
-    assert last <= first * 1.05  # photometric loss is noisy; no blow-up
+    s = _run_series("dmds", p, steps=16, two_frame=True)
+    _assert_decreases(s, "loss")
+    _assert_decreases(s, "loss_photo")
 
 
 def test_training_state_is_replicated_and_batch_sharded():
