@@ -24,6 +24,8 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--eval_every", type=int, default=0,
                         help="run evaluation every N steps (0 = off)")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="also write TensorBoard scalar events to <workdir>/tb")
     parser.add_argument("--eval_batches", type=int, default=20)
     parser.add_argument(
         "--debug_nans", action="store_true",
@@ -56,6 +58,7 @@ def main(argv=None):
         cfg,
         checkpoint_dir=f"{args.workdir}/checkpoints",
         metrics_path=f"{args.workdir}/metrics.jsonl",
+        tensorboard_dir=f"{args.workdir}/tb" if args.tensorboard else None,
         checkpoint_every=args.checkpoint_every,
         log_every=args.log_every,
         seed=args.seed,

@@ -106,6 +106,7 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         checkpoint_dir: Optional[str] = None,
         metrics_path: Optional[str] = None,
+        tensorboard_dir: Optional[str] = None,
         keep_checkpoints: int = 3,
         checkpoint_every: int = 1000,
         log_every: int = 50,
@@ -136,10 +137,21 @@ class Trainer:
         )
 
         self.metrics_writer = None
+        writers = []
         if metrics_path is not None:
             from cvm_tpu.train.metrics import JsonlMetricsWriter
 
-            self.metrics_writer = JsonlMetricsWriter(metrics_path)
+            writers.append(JsonlMetricsWriter(metrics_path))
+        if tensorboard_dir is not None:
+            from cvm_tpu.train.tensorboard import TensorBoardWriter
+
+            writers.append(TensorBoardWriter(tensorboard_dir))
+        if len(writers) == 1:
+            self.metrics_writer = writers[0]
+        elif writers:
+            from cvm_tpu.train.metrics import MultiWriter
+
+            self.metrics_writer = MultiWriter(*writers)
 
         self.ckpt = None
         if checkpoint_dir is not None:

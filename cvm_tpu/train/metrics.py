@@ -28,6 +28,21 @@ class JsonlMetricsWriter:
         self._f.close()
 
 
+class MultiWriter:
+    """Fan a metrics stream out to several writers (JSONL + TB + MLflow)."""
+
+    def __init__(self, *writers):
+        self.writers = [w for w in writers if w is not None]
+
+    def write(self, step: int, metrics: Dict[str, float]) -> None:
+        for w in self.writers:
+            w.write(step, metrics)
+
+    def close(self) -> None:
+        for w in self.writers:
+            w.close()
+
+
 class MlflowAdapter:
     """Optional MLflow bridge; no-op if mlflow is unavailable."""
 
