@@ -15,6 +15,7 @@ from cvm_tpu.data.adapters.kitti import (  # noqa: F401
 )
 from cvm_tpu.data.adapters.comma10k import pack_comma10k  # noqa: F401
 from cvm_tpu.data.adapters.nuimages import pack_nuimages  # noqa: F401
+from cvm_tpu.data.adapters.nuscenes import pack_nuscenes  # noqa: F401
 
 ADAPTERS = {
     "coco": pack_coco,
@@ -23,4 +24,5 @@ ADAPTERS = {
     "kitti_semseg": pack_kitti_semseg,
     "comma10k": pack_comma10k,
     "nuimages": pack_nuimages,
+    "nuscenes": pack_nuscenes,
 }

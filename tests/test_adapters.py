@@ -138,3 +138,95 @@ def test_pack_nuimages(tmp_path, rng):
     assert stats["written"] == 1 and stats["skipped"] == 1
     meta, _ = RecordReader(out).get(0)
     assert meta["classes"] == [0] and meta["boxes"] == [[1, 2, 20, 25]]
+
+
+def test_pack_nuscenes_3d(tmp_path, rng):
+    """Full nuScenes tables → camera-frame 3D targets with known geometry."""
+    from cvm_tpu.data.adapters import pack_nuscenes
+
+    root = tmp_path / "nusc"
+    v = root / "v1.0-trainval"
+    os.makedirs(v)
+    fname = "samples/CAM_FRONT/f0.jpg"
+    _save(str(root / fname), rng.integers(0, 255, (60, 100, 3), dtype=np.uint8))
+
+    ident = [1.0, 0.0, 0.0, 0.0]
+    json.dump([{"token": "sd1", "sample_token": "s1", "filename": fname,
+                "is_key_frame": True, "ego_pose_token": "ep1",
+                "calibrated_sensor_token": "cs1"},
+               {"token": "sd2", "sample_token": "s1", "filename": "sweeps/CAM_FRONT/x.jpg",
+                "is_key_frame": False, "ego_pose_token": "ep1",
+                "calibrated_sensor_token": "cs1"}],
+              open(v / "sample_data.json", "w"))
+    # Ego 10m along global x, unrotated; camera at ego origin, rotated so the
+    # optical axis (cam z) looks along global/ego x: R maps cam->ego with
+    # columns (cam x->-ego y, cam y->-ego z, cam z->ego x); quaternion for
+    # that matrix is 0.5*(1,-1,1,-1).
+    json.dump([{"token": "ep1", "translation": [10.0, 0.0, 0.0],
+                "rotation": ident}], open(v / "ego_pose.json", "w"))
+    json.dump([{"token": "cs1", "translation": [0.0, 0.0, 0.0],
+                "rotation": [0.5, -0.5, 0.5, -0.5],
+                "camera_intrinsic": [[100.0, 0.0, 50.0],
+                                     [0.0, 100.0, 30.0],
+                                     [0.0, 0.0, 1.0]]}],
+              open(v / "calibrated_sensor.json", "w"))
+    # A car 20m ahead of the ego on global x, heading along global x
+    # (same direction the camera looks): its box-forward in cam frame is
+    # the optical axis -> rot_y = atan2(-1, 0) = -pi/2.
+    json.dump([{"token": "a1", "sample_token": "s1", "instance_token": "i1",
+                "translation": [30.0, 0.0, 0.0], "size": [2.0, 4.0, 1.5],
+                "rotation": ident}],
+              open(v / "sample_annotation.json", "w"))
+    json.dump([{"token": "i1", "category_token": "c1"}],
+              open(v / "instance.json", "w"))
+    json.dump([{"token": "c1", "name": "vehicle.car"}],
+              open(v / "category.json", "w"))
+
+    out = str(tmp_path / "nusc.cvrec")
+    stats = pack_nuscenes(str(root), out)
+    assert stats["written"] == 1 and stats["num_classes"] == 10
+    meta, blobs = RecordReader(out).get(0)
+    assert meta["classes"] == [0]
+    assert meta["intrinsics"] == [100.0, 100.0, 50.0, 30.0]
+    # Camera frame: 20m straight ahead.
+    np.testing.assert_allclose(meta["loc3d"][0], [0.0, 0.0, 20.0], atol=1e-9)
+    assert meta["dims3d"][0] == [1.5, 2.0, 4.0]  # [h, w, l] from size [w, l, h]
+    np.testing.assert_allclose(meta["rot_y"][0], -np.pi / 2, atol=1e-9)
+    # 2D box centered on the principal point, half-extents f*(size/2)/z:
+    # lateral = box y (w/2=1) and length x (l/2=2) -> widest corners at
+    # z in [18, 22]; just sanity-check the span contains the center.
+    x0, y0, x1, y1 = meta["boxes"][0]
+    assert x0 < 50 < x1 and y0 < 30 < y1
+    assert blobs["jpeg"][:2] == b"\xff\xd8"
+
+
+def test_pack_nuscenes_drops_behind_camera(tmp_path, rng):
+    from cvm_tpu.data.adapters import pack_nuscenes
+
+    root = tmp_path / "nusc2"
+    v = root / "v1.0-trainval"
+    os.makedirs(v)
+    fname = "samples/CAM_FRONT/f0.jpg"
+    _save(str(root / fname), rng.integers(0, 255, (60, 100, 3), dtype=np.uint8))
+    ident = [1.0, 0.0, 0.0, 0.0]
+    json.dump([{"token": "sd1", "sample_token": "s1", "filename": fname,
+                "is_key_frame": True, "ego_pose_token": "ep1",
+                "calibrated_sensor_token": "cs1"}], open(v / "sample_data.json", "w"))
+    json.dump([{"token": "ep1", "translation": [0, 0, 0], "rotation": ident}],
+              open(v / "ego_pose.json", "w"))
+    json.dump([{"token": "cs1", "translation": [0, 0, 0],
+                "rotation": [0.5, -0.5, 0.5, -0.5],
+                "camera_intrinsic": [[100.0, 0, 50.0], [0, 100.0, 30.0], [0, 0, 1.0]]}],
+              open(v / "calibrated_sensor.json", "w"))
+    # Behind the camera (global -x = cam -z).
+    json.dump([{"token": "a1", "sample_token": "s1", "instance_token": "i1",
+                "translation": [-15.0, 0.0, 0.0], "size": [2, 4, 1.5],
+                "rotation": ident}], open(v / "sample_annotation.json", "w"))
+    json.dump([{"token": "i1", "category_token": "c1"}], open(v / "instance.json", "w"))
+    json.dump([{"token": "c1", "name": "vehicle.car"}], open(v / "category.json", "w"))
+
+    out = str(tmp_path / "n2.cvrec")
+    stats = pack_nuscenes(str(root), out)
+    assert stats["written"] == 1
+    meta, _ = RecordReader(out).get(0)
+    assert meta["boxes"] == [] and "loc3d" not in meta
