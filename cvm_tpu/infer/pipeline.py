@@ -59,7 +59,9 @@ class InferencePipeline:
     ):
         self.spec = spec
         self.cfg = params_cfg
-        self.model = spec.create_model(params_cfg)
+        from cvm_tpu.models.registry import build_model
+
+        self.model = build_model(spec, params_cfg, mesh=mesh)
         self._variables = variables
         self.input_format = input_format
         out_hw = params_cfg.input_hw

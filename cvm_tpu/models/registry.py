@@ -38,6 +38,14 @@ def get_model_zoo():
     return sorted(_REGISTRY)
 
 
+def build_model(spec: ModelSpec, cfg, mesh=None):
+    """create_model, passing the mesh through for configs whose execution
+    layout needs it (currently semseg's spatial_shard halo-conv path)."""
+    if mesh is not None and getattr(cfg, "spatial_shard", False):
+        return spec.create_model(cfg, mesh=mesh)
+    return spec.create_model(cfg)
+
+
 def _centernet() -> ModelSpec:
     from cvm_tpu.models.centernet import CenternetParams, centernet_loss, create_model
     from cvm_tpu.models.centernet.processor import make_processor

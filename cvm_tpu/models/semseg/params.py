@@ -32,6 +32,9 @@ class SemsegParams(BaseParams):
     decoder_features: int = 64
     class_weights: Tuple[float, ...] = (1.0, 2.0, 1.0, 2.0, 1.0)
     ignore_index: int = 255
+    # Run the head conv H-sharded over the mesh "model" axis (halo-exchange
+    # spatial sharding, parallel/spatial.py) — execution layout only.
+    spatial_shard: bool = False
     learning_rate: float = 1e-3
     weight_decay: float = 1e-5
     warmup_steps: int = 500

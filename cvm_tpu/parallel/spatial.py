@@ -51,18 +51,25 @@ def _halo_conv3x3_block(xb: jnp.ndarray, w: jnp.ndarray, axis: str) -> jnp.ndarr
 
 
 def spatial_conv3x3(
-    x: jnp.ndarray, w: jnp.ndarray, mesh: Mesh, axis: str = "model"
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """3x3 stride-1 SAME conv with H sharded over ``mesh[axis]``.
 
     Bit-identical to ``lax.conv_general_dilated(..., padding="SAME")`` on the
     gathered array (tests/test_spatial_sharding.py). H must divide evenly by
     the axis size (pad H upstream if needed — static shapes as usual).
+    ``batch_axis`` additionally keeps the batch dimension sharded (pure DP)
+    so this composes with the trainer's ("data", "model") layout without a
+    batch all-gather.
     """
     fn = jax.shard_map(
         partial(_halo_conv3x3_block, axis=axis),
         mesh=mesh,
-        in_specs=(P(None, axis, None, None), P()),
-        out_specs=P(None, axis, None, None),
+        in_specs=(P(batch_axis, axis, None, None), P()),
+        out_specs=P(batch_axis, axis, None, None),
     )
     return fn(x, w)

@@ -115,7 +115,9 @@ class Trainer:
         self.spec = spec
         self.cfg = params_cfg
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.model = spec.create_model(params_cfg)
+        from cvm_tpu.models.registry import build_model
+
+        self.model = build_model(spec, params_cfg, mesh=self.mesh)
         self.tx = make_optimizer(
             params_cfg.learning_rate,
             params_cfg.total_steps,
@@ -129,12 +131,20 @@ class Trainer:
 
         self._repl = replicated(self.mesh)
         self._batch_sh = batch_sharding(self.mesh)
-        self.train_step = jax.jit(
-            make_train_step(self.model, spec.loss_fn, params_cfg, self.tx, self.processor),
-            in_shardings=(self._repl, self._batch_sh, self._repl),
-            out_shardings=(self._repl, self._repl),
-            donate_argnums=(0,),
+        # Tensor parallelism: the per-model ``tensor_parallel`` config flag
+        # activates the default Megatron-pattern rules over the mesh "model"
+        # axis (parallel/sharding.py); params/opt-state leaves matching the
+        # rules are physically sharded and GSPMD partitions the convs.
+        self.tp_rules = ()
+        if getattr(params_cfg, "tensor_parallel", False):
+            from cvm_tpu.parallel.sharding import tp_rules_for
+
+            self.tp_rules = tp_rules_for(spec.name)
+        self._state_sh = self._repl  # refined in init_state when TP is on
+        self._step_fn = make_train_step(
+            self.model, spec.loss_fn, params_cfg, self.tx, self.processor
         )
+        self.train_step = self._jit_step(self._repl)
 
         self.metrics_writer = None
         writers = []
@@ -163,8 +173,28 @@ class Trainer:
 
         self.state: Optional[TrainState] = None
 
+    def _jit_step(self, state_sh):
+        return jax.jit(
+            self._step_fn,
+            in_shardings=(state_sh, self._batch_sh, self._repl),
+            out_shardings=(state_sh, self._repl),
+            donate_argnums=(0,),
+        )
+
+    def _tp_state_shardings(self, state: TrainState) -> TrainState:
+        """Per-leaf shardings: rule-matched params/opt-state sharded on the
+        mesh "model" axis, everything else replicated."""
+        from cvm_tpu.parallel.sharding import make_param_shardings
+
+        return TrainState(
+            step=self._repl,
+            params=make_param_shardings(state.params, self.mesh, self.tp_rules),
+            batch_stats=make_param_shardings(state.batch_stats, self.mesh, ()),
+            opt_state=make_param_shardings(state.opt_state, self.mesh, self.tp_rules),
+        )
+
     def init_state(self, sample_batch=None) -> TrainState:
-        """Initialize (or restore) replicated train state.
+        """Initialize (or restore) mesh-sharded train state.
 
         ``sample_batch`` is accepted for API symmetry but unused — the model
         input shape is fully determined by the config (static shapes
@@ -174,11 +204,14 @@ class Trainer:
         sample = jnp.zeros((1, *self.cfg.input_hw, channels), jnp.float32)
         with jax.default_device(jax.devices()[0]):
             state = create_train_state(self.model, self.cfg, self.tx, sample)
-        state = jax.device_put(state, self._repl)
+        if self.tp_rules:
+            self._state_sh = self._tp_state_shardings(state)
+            self.train_step = self._jit_step(self._state_sh)
+        state = jax.device_put(state, self._state_sh)
         if self.ckpt is not None:
             restored = self.ckpt.restore_latest(state)
             if restored is not None:
-                state = jax.device_put(restored, self._repl)
+                state = jax.device_put(restored, self._state_sh)
         self.state = state
         return state
 

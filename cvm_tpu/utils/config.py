@@ -16,6 +16,9 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, get_args, get_ori
 @dataclasses.dataclass
 class BaseParams:
     name: str = "base"
+    # Shard the widest backbone convs over the mesh "model" axis
+    # (parallel/sharding.py tp_rules_for; consumed by train.loop.Trainer).
+    tensor_parallel: bool = False
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
