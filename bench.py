@@ -37,16 +37,27 @@ sys.path.insert(0, REPO)
 _BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
 
-def _make_host_batches(pad_hw, batch_size, n_batches=12, quality=90):
-    """Synthetic road-like scenes → JPEG → native YUV420 planes (+ timing)."""
+def _make_host_batches(pad_hw, batch_size, n_batches=12, quality=90,
+                       decode_threads=4):
+    """Synthetic road-like scenes → JPEG → native YUV420 planes (+ timing).
+
+    Also measures the raw-YUV serving-shard path (cli.repack): batch assembly
+    from pre-decoded planes is a pure blit, the answer to a decode-bound
+    host (VERDICT r1 item 5).
+    """
+    import tempfile
+
     from PIL import Image
 
+    from cvm_tpu.data.loader import RecordLoader
+    from cvm_tpu.data.records import RecordDataset, RecordWriter
     from cvm_tpu.data.synthetic import synthetic_sample
     from cvm_tpu.native import decode_jpeg_batch_yuv420
 
     rng = np.random.default_rng(7)
     batches = []
     decode_times = []
+    all_jpegs = []
     for _ in range(n_batches):
         jpegs = []
         for _ in range(batch_size):
@@ -57,10 +68,38 @@ def _make_host_batches(pad_hw, batch_size, n_batches=12, quality=90):
             Image.fromarray(s["image"]).save(buf, format="JPEG", quality=quality)
             jpegs.append(buf.getvalue())
         t0 = time.perf_counter()
-        y, u, v, hw = decode_jpeg_batch_yuv420(jpegs, pad_hw[0], pad_hw[1], num_threads=4)
+        y, u, v, hw = decode_jpeg_batch_yuv420(
+            jpegs, pad_hw[0], pad_hw[1], num_threads=decode_threads
+        )
         decode_times.append(time.perf_counter() - t0)
         batches.append((y, u, v, hw))
-    return batches, float(np.median(decode_times))
+        all_jpegs.extend(jpegs)
+
+    # Raw-YUV serving shard: repack once, time the loader's blit assembly.
+    t_raw_feed = None
+    try:
+        from cvm_tpu.cli.repack import repack_yuv
+
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "bench.cvrec")
+            with RecordWriter(src) as w:
+                for i, j in enumerate(all_jpegs):
+                    w.write({"id": f"b{i}"}, {"jpeg": j})
+            out = os.path.join(td, "bench_yuv.cvrec")
+            repack_yuv(src, out)
+            ld = RecordLoader(RecordDataset([out]), batch_size, pad_hw,
+                              output_format="yuv420", shuffle=False, loop=False)
+            idxs = list(range(batch_size))
+            ld._make_batch(idxs)
+            ts = []
+            for k in range(5):
+                t0 = time.perf_counter()
+                ld._make_batch(idxs)
+                ts.append(time.perf_counter() - t0)
+            t_raw_feed = float(np.median(ts))
+    except Exception:
+        pass
+    return batches, float(np.median(decode_times)), t_raw_feed
 
 
 def measure_tpu(batch_size: int = 8, iters: int = 30, warmup: int = 3) -> dict:
@@ -80,7 +119,10 @@ def measure_tpu(batch_size: int = 8, iters: int = 30, warmup: int = 3) -> dict:
     B, H, W = y0.shape
     pad_hw = (H, W)
 
-    host_batches, t_decode_batch = _make_host_batches(pad_hw, B)
+    decode_threads = min(4, os.cpu_count() or 1)
+    host_batches, t_decode_batch, t_raw_feed = _make_host_batches(
+        pad_hw, B, decode_threads=decode_threads
+    )
 
     # Warm compile + one pass over every distinct host buffer.
     jax.block_until_ready(jfn(variables, y0, u0, v0, hw0))
@@ -124,6 +166,8 @@ def measure_tpu(batch_size: int = 8, iters: int = 30, warmup: int = 3) -> dict:
         "images_per_sec": float(B / t_pipelined),
         "images_per_sec_blocked": float(B / lat.mean()),
         "host_decode_ms_per_batch": float(t_decode_batch * 1e3),
+        "decode_threads": decode_threads,
+        "host_cores": os.cpu_count() or 1,
         "p50_latency_ms": float(np.percentile(lat, 50) * 1e3),
         "p90_latency_ms": float(np.percentile(lat, 90) * 1e3),
         "batch_size": B,
@@ -131,6 +175,12 @@ def measure_tpu(batch_size: int = 8, iters: int = 30, warmup: int = 3) -> dict:
     }
     t_steady = max(t_pipelined, t_decode_batch)
     res["images_per_sec_incl_decode"] = float(B / t_steady)
+    if t_raw_feed is not None:
+        # Serving from raw-YUV shards (cli.repack): assembly is a blit.
+        res["host_raw_yuv_feed_ms_per_batch"] = float(t_raw_feed * 1e3)
+        res["images_per_sec_incl_decode_raw_shards"] = float(
+            B / max(t_pipelined, t_raw_feed)
+        )
     if flops_per_batch > 0:
         achieved = flops_per_batch / t_pipelined / 1e12
         res["gflops_per_image"] = round(flops_per_batch / B / 1e9, 2)
@@ -180,7 +230,10 @@ def main() -> int:
         "baseline_images_per_sec": round(ref.get("images_per_sec", 0.0), 3),
         "device": ours.get("device", "?"),
     }
-    for k in ("gflops_per_image", "achieved_tflops", "mfu_pct"):
+    for k in ("gflops_per_image", "achieved_tflops", "mfu_pct",
+              "host_raw_yuv_feed_ms_per_batch",
+              "images_per_sec_incl_decode_raw_shards",
+              "decode_threads", "host_cores"):
         if k in ours:
             result[k] = ours[k]
     print(json.dumps(result))

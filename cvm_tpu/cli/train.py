@@ -26,6 +26,9 @@ def main(argv=None):
                         help="run evaluation every N steps (0 = off)")
     parser.add_argument("--tensorboard", action="store_true",
                         help="also write TensorBoard scalar events to <workdir>/tb")
+    parser.add_argument("--decode_target", default="auto",
+                        help="scale-aware JPEG decode target: 'auto' (1.3x "
+                             "input), 'off', or 'H,W'")
     parser.add_argument("--eval_batches", type=int, default=20)
     parser.add_argument(
         "--debug_nans", action="store_true",
@@ -78,9 +81,18 @@ def main(argv=None):
 
         ds = RecordDataset([args.data])
         train_ids, _ = ds.split_ids()
+        # Scale-aware decode: never decode pixels the letterbox will discard
+        # (power-of-2 DCT scale covering ~1.3x the model input, leaving
+        # headroom for scale/shift augmentation).
+        target_hw = (0, 0)
+        if args.decode_target == "auto":
+            target_hw = (int(cfg.input_hw[0] * 1.3), int(cfg.input_hw[1] * 1.3))
+        elif args.decode_target not in ("off", None):
+            target_hw = tuple(int(x) for x in args.decode_target.split(","))
         loader = RecordLoader(
             ds, cfg.batch_size, pad_hw, ids=train_ids,
             max_objects=getattr(cfg, "max_objects", 128), seed=args.seed,
+            target_hw=target_hw,
         )
         it = iter(loader)
 

@@ -163,6 +163,7 @@ class RecordLoader:
         drop_remainder: bool = True,
         loop: bool = True,
         output_format: str = "rgb",
+        target_hw: Tuple[int, int] = (0, 0),
     ):
         if output_format not in ("rgb", "yuv420"):
             raise ValueError(f"output_format must be rgb|yuv420, got {output_format}")
@@ -178,6 +179,10 @@ class RecordLoader:
         self.drop_remainder = drop_remainder
         self.loop = loop
         self.output_format = output_format
+        # Scale-aware decode: smallest M/8 DCT scale covering the model
+        # input (the feeder never decodes pixels the letterbox will discard;
+        # labels follow the decoded extent via _label_scales).
+        self.target_hw = tuple(target_hw)
 
     def _make_batch(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
         metas, blobs, jpegs, raws = [], [], [], []
@@ -204,9 +209,26 @@ class RecordLoader:
             U = np.full((B, Hm // 2, Wm // 2), 128, np.uint8)
             V = np.full((B, Hm // 2, Wm // 2), 128, np.uint8)
             hw = np.ones((B, 2), np.int32)
+            # Pre-decoded plane blobs (raw-YUV serving shards, cli.repack):
+            # the zero-decode fast path — assembly is a pure blit.
+            for i, b in enumerate(blobs):
+                if "y" in b and "u" in b and "v" in b:
+                    to_decode = [(j, d) for j, d in to_decode if j != i]
+                    yp, up, vp = b["y"], b["u"], b["v"]
+                    h, w = yp.shape
+                    if h > Hm or w > Wm:
+                        raise ValueError(
+                            f"raw yuv planes {(h, w)} exceed pad buffer {(Hm, Wm)} "
+                            f"for sample {metas[i].get('id', i)!r}"
+                        )
+                    Y[i, :h, :w] = yp
+                    U[i, : h // 2, : w // 2] = up
+                    V[i, : h // 2, : w // 2] = vp
+                    hw[i] = (h, w)
             if to_decode:
                 dy, du, dv, dhw = decode_jpeg_batch_yuv420(
-                    [j for _, j in to_decode], Hm, Wm, self.threads
+                    [j for _, j in to_decode], Hm, Wm, self.threads,
+                    target_hw=self.target_hw,
                 )
                 for k, (i, _) in enumerate(to_decode):
                     Y[i], U[i], V[i] = dy[k], du[k], dv[k]
@@ -231,7 +253,8 @@ class RecordLoader:
         hw = np.ones((B, 2), np.int32)
         if to_decode:
             dec, dec_hw = decode_jpeg_batch(
-                [j for _, j in to_decode], Hm, Wm, self.threads
+                [j for _, j in to_decode], Hm, Wm, self.threads,
+                target_hw=self.target_hw,
             )
             for k, (i, _) in enumerate(to_decode):
                 images[i] = dec[k]

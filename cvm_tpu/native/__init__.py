@@ -51,14 +51,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.cvm_decode_into.restype = ctypes.c_int
         lib.cvm_decode_into.argtypes = [
             ctypes.c_char_p, ctypes.c_ulong, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
         lib.cvm_decode_batch.restype = ctypes.c_int
         lib.cvm_decode_batch.argtypes = [
             ctypes.c_int, ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_ulong), ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
         ]
@@ -68,7 +68,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_ulong),
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
         ]
@@ -80,8 +80,25 @@ def native_available() -> bool:
     return get_lib() is not None
 
 
+def _choose_scale_num(h: int, w: int, max_h: int, max_w: int,
+                      target_h: int, target_w: int) -> Optional[int]:
+    """Mirror of the native choose_scale: power-of-2 DCT scale selection
+    (fractional M/8 scales are slower than full decode — see jpeg_feeder.cc)."""
+    best = None
+    for num in (8, 4, 2, 1):
+        oh, ow = -(-h * num // 8), -(-w * num // 8)  # ceil, as libjpeg does
+        if oh > max_h or ow > max_w:
+            continue
+        if best is None:
+            best = num
+        if target_h > 0 and 8 * oh >= 7 * target_h and 8 * ow >= 7 * target_w:
+            best = num
+    return best
+
+
 def _decode_batch_pil(
-    jpegs: Sequence[bytes], max_h: int, max_w: int, out: np.ndarray, out_hw: np.ndarray
+    jpegs: Sequence[bytes], max_h: int, max_w: int, out: np.ndarray, out_hw: np.ndarray,
+    target_hw=(0, 0),
 ) -> int:
     import io
 
@@ -91,12 +108,15 @@ def _decode_batch_pil(
     for i, data in enumerate(jpegs):
         try:
             img = Image.open(io.BytesIO(data)).convert("RGB")
-            # Match the native path: integer downscale until it fits.
-            scale = 1
-            while (img.height // scale > max_h or img.width // scale > max_w) and scale < 8:
-                scale *= 2
-            if scale > 1:
-                img = img.resize((img.width // scale, img.height // scale), Image.BILINEAR)
+            # Match the native path: M/8 scale-aware downscale.
+            num = _choose_scale_num(img.height, img.width, max_h, max_w,
+                                    target_hw[0], target_hw[1])
+            if num is None:
+                failures += 1
+                continue
+            if num < 8:
+                img = img.resize((-(-img.width * num // 8), -(-img.height * num // 8)),
+                                 Image.BILINEAR)
             arr = np.asarray(img, np.uint8)
             h, w = arr.shape[:2]
             if h > max_h or w > max_w:
@@ -115,11 +135,15 @@ def decode_jpeg_batch(
     max_w: int,
     num_threads: int = 4,
     out: Optional[np.ndarray] = None,
+    target_hw: Tuple[int, int] = (0, 0),
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode JPEGs into a padded (N, max_h, max_w, 3) uint8 batch.
 
     Returns (batch, hw) where hw[i] = (h, w) valid extent. Failed decodes
     yield a zero frame with hw = (1, 1) (masked rather than fatal).
+    ``target_hw`` > 0 enables scale-aware decode: the smallest M/8 DCT scale
+    whose output still covers the model input (labels are rescaled by the
+    loader from the decoded extent).
     """
     n = len(jpegs)
     if out is None:
@@ -130,7 +154,7 @@ def decode_jpeg_batch(
 
     lib = get_lib()
     if lib is None:
-        _decode_batch_pil(jpegs, max_h, max_w, out, out_hw)
+        _decode_batch_pil(jpegs, max_h, max_w, out, out_hw, target_hw)
         return out, out_hw
 
     bufs = [np.frombuffer(j, np.uint8) for j in jpegs]
@@ -140,7 +164,7 @@ def decode_jpeg_batch(
     lib.cvm_decode_batch(
         n, ptrs, lens,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        max_h, max_w,
+        max_h, max_w, int(target_hw[0]), int(target_hw[1]),
         out_hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         num_threads,
@@ -171,6 +195,7 @@ def decode_jpeg_batch_yuv420(
     max_h: int,
     max_w: int,
     num_threads: int = 4,
+    target_hw: Tuple[int, int] = (0, 0),
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Decode JPEGs to planar YUV420 padded batches.
 
@@ -195,11 +220,13 @@ def decode_jpeg_batch_yuv420(
         for i, data in enumerate(jpegs):
             try:
                 img = Image.open(io.BytesIO(data)).convert("RGB")
-                scale = 1
-                while (img.height // scale > max_h or img.width // scale > max_w) and scale < 8:
-                    scale *= 2
-                if scale > 1:
-                    img = img.resize((img.width // scale, img.height // scale), Image.BILINEAR)
+                num = _choose_scale_num(img.height, img.width, max_h, max_w,
+                                        target_hw[0], target_hw[1])
+                if num is None:
+                    continue
+                if num < 8:
+                    img = img.resize((-(-img.width * num // 8), -(-img.height * num // 8)),
+                                     Image.BILINEAR)
                 arr = np.asarray(img, np.uint8)
                 h, w = arr.shape[:2]
                 if h % 2 or w % 2:  # crop to even for clean 4:2:0
@@ -222,7 +249,7 @@ def decode_jpeg_batch_yuv420(
     lib.cvm_decode_batch_yuv420(
         n, ptrs, lens,
         Y.ctypes.data_as(u8p), U.ctypes.data_as(u8p), V.ctypes.data_as(u8p),
-        max_h, max_w,
+        max_h, max_w, int(target_hw[0]), int(target_hw[1]),
         out_hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         num_threads,

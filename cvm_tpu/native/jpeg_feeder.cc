@@ -31,16 +31,50 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
+// Pick the DCT scale. Only the power-of-2 scales (1/1, 1/2, 1/4, 1/8) are
+// considered: libjpeg-turbo's fractional M/8 scales fall off the SIMD IDCT
+// path and measured SLOWER than full decode on this host (44 vs 19 ms for
+// an 8x700px batch), and any scaling disables the raw-4:2:0 fast path.
+// target_h/w > 0: the SMALLEST power-of-2 output still covering the target
+// (so the device letterbox never upsamples) — a 3000px frame feeding a
+// 512px model decodes at 1/4, 16x fewer IDCT pixels.
+// target 0: the largest output that fits the pad buffer (legacy behavior).
+// Returns false if even 1/8 exceeds the buffer.
+bool choose_scale(jpeg_decompress_struct* cinfo, int max_h, int max_w,
+                  int target_h, int target_w) {
+  int best = -1;
+  for (int num = 8; num >= 1; num /= 2) {
+    cinfo->scale_num = num;
+    cinfo->scale_denom = 8;
+    jpeg_calc_output_dimensions(cinfo);
+    const int oh = (int)cinfo->output_height, ow = (int)cinfo->output_width;
+    if (oh > max_h || ow > max_w) continue;  // too big at this scale
+    if (best < 0) best = num;                // largest fitting scale
+    // "Covers" with 1/8 slack: letterboxing 500->512 (a 2.4% upsample) is
+    // visually free and buys a whole power-of-2 of IDCT work.
+    if (target_h > 0 && 8 * oh >= 7 * target_h && 8 * ow >= 7 * target_w)
+      best = num;                            // smallest still covering target
+  }
+  if (best < 0) return false;
+  cinfo->scale_num = best;
+  cinfo->scale_denom = 8;
+  jpeg_calc_output_dimensions(cinfo);
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
 
 // Decode one JPEG into out[max_h][max_w][3] (RGB, row stride max_w*3).
 // Returns 0 on success; fills out_h/out_w with the decoded (possibly
-// DCT-downscaled) size. Non-fatal failure returns nonzero and leaves the
-// buffer untouched.
+// DCT-downscaled) size. target_h/target_w > 0 selects the smallest M/8
+// DCT scale still covering the model input (scale-aware decode); 0 keeps
+// the fit-to-buffer behavior. Non-fatal failure returns nonzero and
+// leaves the buffer untouched.
 int cvm_decode_into(const uint8_t* jpeg, unsigned long len, uint8_t* out,
-                    int max_h, int max_w, int* out_h, int* out_w) {
+                    int max_h, int max_w, int target_h, int target_w,
+                    int* out_h, int* out_w) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -56,17 +90,7 @@ int cvm_decode_into(const uint8_t* jpeg, unsigned long len, uint8_t* out,
     return 2;
   }
   cinfo.out_color_space = JCS_RGB;
-  // DCT-domain downscale until the frame fits the static buffer.
-  cinfo.scale_num = 1;
-  cinfo.scale_denom = 1;
-  while (cinfo.scale_denom < 8) {
-    jpeg_calc_output_dimensions(&cinfo);
-    if ((int)cinfo.output_height <= max_h && (int)cinfo.output_width <= max_w)
-      break;
-    cinfo.scale_denom *= 2;
-  }
-  jpeg_calc_output_dimensions(&cinfo);
-  if ((int)cinfo.output_height > max_h || (int)cinfo.output_width > max_w) {
+  if (!choose_scale(&cinfo, max_h, max_w, target_h, target_w)) {
     jpeg_destroy_decompress(&cinfo);
     return 3;  // still too large at 1/8 — caller should raise max buffer
   }
@@ -91,11 +115,12 @@ int cvm_decode_into(const uint8_t* jpeg, unsigned long len, uint8_t* out,
 // preprocess. Non-4:2:0 sources fall back to RGB decode + host subsample.
 // ---------------------------------------------------------------------------
 
+// Fixed-point JFIF RGB->Y (full range, BT.601): integer math so the
+// compiler vectorizes; coefficients sum to 256 exactly.
 static void rgb_row_to_yuv(const uint8_t* rgb, uint8_t* yrow, int w) {
   for (int x = 0; x < w; ++x) {
     const int r = rgb[3 * x], g = rgb[3 * x + 1], b = rgb[3 * x + 2];
-    int y = (int)(0.299 * r + 0.587 * g + 0.114 * b + 0.5);
-    yrow[x] = (uint8_t)(y < 0 ? 0 : (y > 255 ? 255 : y));
+    yrow[x] = (uint8_t)((77 * r + 150 * g + 29 * b + 128) >> 8);
   }
 }
 
@@ -103,7 +128,8 @@ static void rgb_row_to_yuv(const uint8_t* rgb, uint8_t* yrow, int w) {
 // out_u/out_v[max_h/2][max_w/2] (strides max_w and max_w/2). Returns 0 on ok.
 int cvm_decode_yuv420_into(const uint8_t* jpeg, unsigned long len,
                            uint8_t* out_y, uint8_t* out_u, uint8_t* out_v,
-                           int max_h, int max_w, int* out_h, int* out_w) {
+                           int max_h, int max_w, int target_h, int target_w,
+                           int* out_h, int* out_w) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -125,21 +151,17 @@ int cvm_decode_yuv420_into(const uint8_t* jpeg, unsigned long len,
       cinfo.comp_info[1].h_samp_factor == 1 && cinfo.comp_info[1].v_samp_factor == 1 &&
       cinfo.comp_info[2].h_samp_factor == 1 && cinfo.comp_info[2].v_samp_factor == 1;
 
-  cinfo.scale_num = 1;
-  cinfo.scale_denom = 1;
-  while (cinfo.scale_denom < 8) {
-    jpeg_calc_output_dimensions(&cinfo);
-    if ((int)cinfo.output_height <= max_h && (int)cinfo.output_width <= max_w)
-      break;
-    cinfo.scale_denom *= 2;
-  }
-  jpeg_calc_output_dimensions(&cinfo);
-  if ((int)cinfo.output_height > max_h || (int)cinfo.output_width > max_w) {
+  if (!choose_scale(&cinfo, max_h, max_w, target_h, target_w)) {
     jpeg_destroy_decompress(&cinfo);
     return 3;
   }
 
-  if (native420 && cinfo.scale_denom == 1) {
+  // jpeg_read_raw_data writes whole MCU-padded rows (multiples of 16 px for
+  // 4:2:0 luma); taking the raw path with an unaligned buffer would overflow
+  // each row into the next. Fall back to the convert path in that case.
+  const int mcu_padded_w = (((int)cinfo.output_width + 15) / 16) * 16;
+  if (native420 && cinfo.scale_num == 8 && cinfo.scale_denom == 8 &&
+      mcu_padded_w <= max_w) {
     // Fast path: raw 4:2:0 planes straight out of the entropy decoder —
     // no host color conversion or chroma upsampling at all.
     cinfo.raw_data_out = TRUE;
@@ -171,6 +193,17 @@ int cvm_decode_yuv420_into(const uint8_t* jpeg, unsigned long len,
       }
       jpeg_read_raw_data(&cinfo, planes, mcu_rows);
     }
+    // jpeg_read_raw_data emits MCU-padded rows (edge-replicated pixels in
+    // columns W..mcu_w); restore the loader's zero-padding invariant.
+    if (mcu_padded_w > W) {
+      for (int yy = 0; yy < H; ++yy)
+        memset(out_y + (size_t)yy * y_stride + W, 0, mcu_padded_w - W);
+      const int cW = (W + 1) / 2, c_mcu = mcu_padded_w / 2;
+      for (int cy = 0; cy < (H + 1) / 2; ++cy) {
+        memset(out_u + (size_t)cy * c_stride + cW, 128, c_mcu - cW);
+        memset(out_v + (size_t)cy * c_stride + cW, 128, c_mcu - cW);
+      }
+    }
     *out_h = H;
     *out_w = W;
     (void)cw;
@@ -197,8 +230,8 @@ int cvm_decode_yuv420_into(const uint8_t* jpeg, unsigned long len,
     uint8_t* vrow = out_v + (size_t)(y0 / 2) * c_stride;
     for (int x = 0; x < W; x += 2) {
       const int r = src[3 * x], g = src[3 * x + 1], b = src[3 * x + 2];
-      int u = (int)(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.5);
-      int v = (int)(0.5 * r - 0.418688 * g - 0.081312 * b + 128.5);
+      int u = ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128;
+      int v = ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128;
       urow[x / 2] = (uint8_t)(u < 0 ? 0 : (u > 255 ? 255 : u));
       vrow[x / 2] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
     }
@@ -216,6 +249,7 @@ struct YuvBatchTask {
   const unsigned long* lens;
   uint8_t *out_y, *out_u, *out_v;
   int max_h, max_w;
+  int target_h, target_w;
   int* out_hw;
   int* rc;
   int next;
@@ -233,8 +267,8 @@ void* yuv_batch_worker(void* arg) {
     if (i >= t->n) break;
     t->rc[i] = cvm_decode_yuv420_into(
         t->jpegs[i], t->lens[i], t->out_y + yf * i, t->out_u + cf * i,
-        t->out_v + cf * i, t->max_h, t->max_w, &t->out_hw[2 * i],
-        &t->out_hw[2 * i + 1]);
+        t->out_v + cf * i, t->max_h, t->max_w, t->target_h, t->target_w,
+        &t->out_hw[2 * i], &t->out_hw[2 * i + 1]);
   }
   return nullptr;
 }
@@ -242,9 +276,10 @@ void* yuv_batch_worker(void* arg) {
 int cvm_decode_batch_yuv420(int n, const uint8_t* const* jpegs,
                             const unsigned long* lens, uint8_t* out_y,
                             uint8_t* out_u, uint8_t* out_v, int max_h,
-                            int max_w, int* out_hw, int* rc, int num_threads) {
+                            int max_w, int target_h, int target_w,
+                            int* out_hw, int* rc, int num_threads) {
   YuvBatchTask t{n, jpegs, lens, out_y, out_u, out_v, max_h, max_w,
-                 out_hw, rc, 0, PTHREAD_MUTEX_INITIALIZER};
+                 target_h, target_w, out_hw, rc, 0, PTHREAD_MUTEX_INITIALIZER};
   if (num_threads < 1) num_threads = 1;
   if (num_threads > n) num_threads = n;
   pthread_t threads[64];
@@ -263,6 +298,7 @@ struct BatchTask {
   const unsigned long* lens;
   uint8_t* out;        // n * max_h * max_w * 3
   int max_h, max_w;
+  int target_h, target_w;
   int* out_hw;         // n * 2 (h, w)
   int* rc;             // n return codes
   int next;            // work index (guarded by mu)
@@ -278,8 +314,8 @@ void* batch_worker(void* arg) {
     pthread_mutex_unlock(&t->mu);
     if (i >= t->n) break;
     t->rc[i] = cvm_decode_into(t->jpegs[i], t->lens[i], t->out + frame * i,
-                               t->max_h, t->max_w, &t->out_hw[2 * i],
-                               &t->out_hw[2 * i + 1]);
+                               t->max_h, t->max_w, t->target_h, t->target_w,
+                               &t->out_hw[2 * i], &t->out_hw[2 * i + 1]);
   }
   return nullptr;
 }
@@ -287,9 +323,10 @@ void* batch_worker(void* arg) {
 // Decode a batch with a transient thread pool. Returns count of failures.
 int cvm_decode_batch(int n, const uint8_t* const* jpegs,
                      const unsigned long* lens, uint8_t* out, int max_h,
-                     int max_w, int* out_hw, int* rc, int num_threads) {
-  BatchTask t{n, jpegs, lens, out, max_h, max_w, out_hw, rc, 0,
-              PTHREAD_MUTEX_INITIALIZER};
+                     int max_w, int target_h, int target_w, int* out_hw,
+                     int* rc, int num_threads) {
+  BatchTask t{n, jpegs, lens, out, max_h, max_w, target_h, target_w,
+              out_hw, rc, 0, PTHREAD_MUTEX_INITIALIZER};
   if (num_threads < 1) num_threads = 1;
   if (num_threads > n) num_threads = n;
   pthread_t threads[64];

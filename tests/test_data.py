@@ -197,3 +197,44 @@ def test_loader_rejects_oversized_dense_labels(tmp_path, rng):
                           loop=False, drop_remainder=False)
     with pytest.raises(ValueError, match="exceeds pad buffer"):
         next(iter(loader))
+
+
+def test_scale_aware_decode_picks_covering_pow2(rng):
+    """target_hw selects the smallest power-of-2 scale covering the model
+    input (with 1/8 slack), independent of the pad buffer."""
+    img = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+    jpeg = _jpeg_bytes(img)
+    # No target: fits the big buffer at full size.
+    _, hw = decode_jpeg_batch([jpeg], 640, 640, 1)
+    assert tuple(hw[0]) == (200, 300)
+    # Target 100x100: 1/2 scale (100x150) covers; 1/4 (50x75) does not.
+    _, hw = decode_jpeg_batch([jpeg], 640, 640, 1, target_hw=(100, 100))
+    assert tuple(hw[0]) == (100, 150)
+    from cvm_tpu.native import decode_jpeg_batch_yuv420
+
+    _, _, _, hw = decode_jpeg_batch_yuv420([jpeg], 640, 640, 1, target_hw=(100, 100))
+    assert tuple(hw[0]) == (100, 150)
+
+
+def test_repack_yuv_and_raw_shard_loader(tmp_path, rng):
+    """cli.repack pre-decodes to raw planes; the loader blits them with the
+    same geometry and near-identical luma as the JPEG decode path."""
+    from cvm_tpu.cli.repack import repack_yuv
+
+    p = str(tmp_path / "src.cvrec")
+    _write_shard(p, 6, rng, hw=(40, 60), with_mask=True, with_depth=False)
+    out = str(tmp_path / "yuv.cvrec")
+    stats = repack_yuv(p, out)
+    assert stats["written"] == 6 and stats["failed"] == 0
+
+    ds_j = RecordDataset([p])
+    ds_r = RecordDataset([out])
+    kw = dict(batch_size=6, pad_hw=(48, 64), output_format="yuv420",
+              shuffle=False, loop=False, max_objects=8)
+    bj = next(iter(RecordLoader(ds_j, **kw)))
+    br = next(iter(RecordLoader(ds_r, **kw)))
+    np.testing.assert_array_equal(bj["image_hw"], br["image_hw"])
+    np.testing.assert_array_equal(bj["boxes"], br["boxes"])
+    np.testing.assert_array_equal(bj["mask"], br["mask"])
+    diff = np.abs(bj["y"].astype(int) - br["y"].astype(int))
+    assert diff.mean() < 1.0  # same decoded planes modulo rounding
