@@ -10,6 +10,12 @@ python -m pytest tests/ -q
 echo "== multichip dryrun (8 virtual CPU devices) =="
 python __graft_entry__.py
 
+echo "== e2e product loop (gen -> pack -> train -> eval -> export -> serve) =="
+# ~25 min on one CPU core; SKIP_E2E=1 skips it for quick iterations.
+if [ -z "${SKIP_E2E:-}" ]; then
+  bash scripts/e2e.sh
+fi
+
 echo "== bench (real chip if available) =="
 python bench.py
 
