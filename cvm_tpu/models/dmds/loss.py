@@ -84,8 +84,11 @@ def dmds_loss(
     res_b = bwd.get("residual_translation")
 
     # Warp b into a's frame using a's depth and forward motion (and vice versa).
-    wa = warp_frame(b, outputs["depth_a"], fwd["rotation"], fwd["translation"], intr, res_f)
-    wb = warp_frame(a, outputs["depth_b"], bwd["rotation"], bwd["translation"], intr, res_b)
+    method = getattr(params, "warp_method", "auto")
+    wa = warp_frame(b, outputs["depth_a"], fwd["rotation"], fwd["translation"], intr, res_f,
+                    method=method)
+    wb = warp_frame(a, outputs["depth_b"], bwd["rotation"], bwd["translation"], intr, res_b,
+                    method=method)
 
     l_photo = photometric_loss(a, wa.warped, wa.valid, params.ssim_weight) + photometric_loss(
         b, wb.warped, wb.valid, params.ssim_weight

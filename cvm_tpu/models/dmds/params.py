@@ -20,6 +20,9 @@ class DmdsParams(BaseParams):
     min_depth: float = 0.1
     motion_features: int = 128
     predict_object_motion: bool = True
+    # warp sampling: "auto" = dense MXU contraction on TPU, 4-tap gather on
+    # CPU (see ops/warp.py::bilinear_sample_mxu for the TPU gather pathology)
+    warp_method: str = "auto"
     # loss weights (depth-and-motion-learning style)
     ssim_weight: float = 0.85         # alpha in photometric = a*SSIM + (1-a)*L1
     weight_photometric: float = 1.0

@@ -32,6 +32,7 @@ from cvm_tpu.ops.image import chroma_roi, yuv_to_rgb  # noqa: F401
 from cvm_tpu.ops.ssim import ssim  # noqa: F401
 from cvm_tpu.ops.warp import (  # noqa: F401
     bilinear_sample,
+    bilinear_sample_mxu,
     euler_to_matrix,
     scale_intrinsics,
     warp_frame,

@@ -67,11 +67,69 @@ def scale_intrinsics(intrinsics: jnp.ndarray, roi) -> jnp.ndarray:
     )
 
 
+def bilinear_sample_mxu(
+    image: jnp.ndarray,
+    coords: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact bilinear sampling as two dense MXU contractions (TPU-native).
+
+    Per-element gathers lower pathologically on the TPU backend: XLA's cost
+    analysis charges the 4-tap gather warp ~260 GB of HBM traffic per batch
+    (~0.2 GB of useful work) and its backward scatter ~780 GB — measured on
+    v5e, making the DMDS warp loss ~100x slower than its roofline. Instead,
+    materialize the separable per-pixel bilinear hat weights and contract:
+
+        out[p, c] = sum_h wv[p, h] * (sum_w wh[p, w] * img[h, w, c])
+
+    Each weight row has at most 2 nonzeros, so this is numerically the exact
+    bilinear sample (up to compute_dtype rounding of the 2-term sums), but it
+    is dense, regular matmul work the MXU executes at speed — the same
+    design move as the Pallas GT splat (irregular scatter/gather -> dense
+    on-chip compute). FLOPs are P*(W+H)*C*2 per image; the backward pass is
+    the transposed matmuls (dense, no scatter).
+
+    Returns (samples (..., C) float32, in_bounds (..., 1) float32), matching
+    ``bilinear_sample`` semantics (border-replicate clamp, OOB flagged).
+    """
+    H, W, C = image.shape
+    lead = coords.shape[:-1]
+    x = coords[..., 0].reshape(-1)
+    y = coords[..., 1].reshape(-1)
+    P = x.shape[0]
+    inb = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
+    xc = jnp.clip(x, 0.0, W - 1.0)
+    yc = jnp.clip(y, 0.0, H - 1.0)
+
+    # Hat (tent) weights: exactly the two bilinear taps per row are nonzero.
+    wh = jnp.maximum(0.0, 1.0 - jnp.abs(xc[:, None] - jnp.arange(W, dtype=jnp.float32)))
+    wv = jnp.maximum(0.0, 1.0 - jnp.abs(yc[:, None] - jnp.arange(H, dtype=jnp.float32)))
+    wh = wh.astype(compute_dtype)
+    wv = wv.astype(compute_dtype)
+
+    outs = []
+    for k in range(C):  # keep the (P, H) intermediate's minor dim MXU-tiled
+        a_k = jax.lax.dot(
+            wh, image[..., k].T.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )  # (P, H)
+        outs.append(jnp.sum(wv.astype(jnp.float32) * a_k, axis=1))
+    out = jnp.stack(outs, axis=-1)
+    return (
+        out.reshape(*lead, C),
+        inb.reshape(*lead, 1).astype(jnp.float32),
+    )
+
+
 def bilinear_sample(image: jnp.ndarray, coords: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample (H, W, C) image at (..., 2) float (x, y) coords.
 
     Returns (samples (..., C), in_bounds (..., 1)). Out-of-frame samples are
     clamped (border replicate) and flagged invalid.
+
+    This is the 4-tap gather formulation — the portable oracle. On TPU
+    backends prefer ``bilinear_sample_mxu`` (see its docstring for why);
+    ``warp_frame(method="auto")`` picks per backend.
     """
     H, W = image.shape[0], image.shape[1]
     x, y = coords[..., 0], coords[..., 1]
@@ -105,6 +163,7 @@ def warp_frame(
     translation: jnp.ndarray,
     intrinsics: jnp.ndarray,
     residual_translation: jnp.ndarray | None = None,
+    method: str = "auto",
 ) -> WarpResult:
     """Warp ``source`` (frame t+1) into frame t's geometry.
 
@@ -113,6 +172,9 @@ def warp_frame(
     rotation    : (B, 3) euler angles; translation (B, 3) camera motion t→t+1.
     intrinsics  : (B, 4) [fx, fy, cx, cy] in resized-frame pixels.
     residual_translation : optional (B, H, W, 3) per-pixel object motion.
+    method      : "gather" (4-tap gather oracle, fast on CPU), "mxu" (dense
+                  MXU contraction, fast on TPU — see bilinear_sample_mxu),
+                  or "auto" (per-backend default).
     """
     B, H, W, _ = depth.shape
     fx, fy, cx, cy = (intrinsics[:, i].reshape(B, 1, 1) for i in range(4))
@@ -134,6 +196,9 @@ def warp_frame(
     v = Pt[..., 1] / z * fy + cy
     coords = jnp.stack([u, v], axis=-1)
 
-    warped, inb = jax.vmap(bilinear_sample)(source, coords)
+    if method == "auto":
+        method = "gather" if jax.default_backend() == "cpu" else "mxu"
+    sample = bilinear_sample_mxu if method == "mxu" else bilinear_sample
+    warped, inb = jax.vmap(sample)(source, coords)
     front = (Pt[..., 2:3] > 1e-3).astype(jnp.float32)
     return WarpResult(warped, inb * front, z[..., None], coords)
