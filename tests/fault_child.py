@@ -11,6 +11,10 @@ import sys
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# The three child processes compile an identical program; the persistent
+# cache turns runs 2..n's compile into a disk read.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from cvm_tpu.data.synthetic import synthetic_iterator  # noqa: E402
 from cvm_tpu.models import get_model  # noqa: E402
