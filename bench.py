@@ -102,6 +102,41 @@ def _make_host_batches(pad_hw, batch_size, n_batches=12, quality=90,
     return batches, float(np.median(decode_times)), t_raw_feed
 
 
+def _tunnel_health_probe(max_wait_s: float = 900.0) -> float:
+    """Guard against the relay's degraded mode (observed: a 2048^3 matmul
+    taking 7-16 s vs the normal <1 ms, for >1.5 h). A measurement taken in
+    that state is garbage, so probe with a small chained matmul and wait
+    (bounded) for the tunnel to recover before benchmarking.
+
+    Returns the final probe time (ms per 1024^3 f32 matmul, ~0.1 ms healthy,
+    <=dispatch-floor ~2 ms over the relay)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1024, 1024), dtype=np.float32))
+    jm = jax.jit(lambda a: jax.lax.dot(a, a) * 1e-3)
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        jax.block_until_ready(jm(x))
+        t0 = time.perf_counter()
+        o = x
+        for _ in range(5):
+            o = jm(o)
+        jax.block_until_ready(o)
+        float(np.asarray(o).ravel()[0])
+        dt_ms = (time.perf_counter() - t0) / 5 * 1e3
+        if dt_ms < 50.0 or time.monotonic() > deadline:
+            if dt_ms >= 50.0:
+                print(
+                    f"WARNING: tunnel still degraded after {max_wait_s:.0f}s "
+                    f"(probe {dt_ms:.0f} ms/matmul); numbers below understate "
+                    "the hardware", file=sys.stderr, flush=True,
+                )
+            return dt_ms
+        time.sleep(45.0)
+
+
 def measure_tpu(batch_size: int = 8, iters: int = 30, warmup: int = 3) -> dict:
     import jax
 
@@ -111,6 +146,8 @@ def measure_tpu(batch_size: int = 8, iters: int = 30, warmup: int = 3) -> dict:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+    probe_ms = _tunnel_health_probe()
 
     from __graft_entry__ import entry
 
@@ -192,6 +229,7 @@ def measure_tpu(batch_size: int = 8, iters: int = 30, warmup: int = 3) -> dict:
         "p90_latency_ms": float(np.percentile(lat, 90) * 1e3),
         "batch_size": B,
         "device": str(jax.devices()[0]),
+        "tunnel_probe_ms": round(probe_ms, 2),
     }
     t_steady = max(t_pipelined, t_decode_batch)
     res["images_per_sec_incl_decode"] = float(B / t_steady)
@@ -257,7 +295,7 @@ def main() -> int:
         "device": ours.get("device", "?"),
     }
     for k in ("gflops_per_image", "achieved_tflops", "mfu_pct",
-              "images_per_sec_b16",
+              "images_per_sec_b16", "tunnel_probe_ms",
               "host_raw_yuv_feed_ms_per_batch",
               "images_per_sec_incl_decode_raw_shards",
               "decode_threads", "host_cores"):
