@@ -1,0 +1,101 @@
+"""Standalone evaluation: ``python -m cvm_tpu.cli.evaluate --model X --workdir D``.
+
+Loads the latest checkpoint from a training workdir and runs the full
+evaluator (mAP / mIoU / depth metrics through the on-device decode paths)
+over a held-out split — the reference's "run inference.py over the val set
+and inspect" loop (SURVEY.md §3.2) as a headless, metric-producing command.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--workdir", default="runs/default",
+                        help="training workdir containing checkpoints/")
+    parser.add_argument("--data", default="synthetic", help="'synthetic' or .cvrec glob")
+    parser.add_argument("--split", default="val", choices=("val", "train", "all"),
+                        help="which id split of the dataset to evaluate")
+    parser.add_argument("--batches", type=int, default=50)
+    parser.add_argument("--pad_hw", default=None)
+    parser.add_argument("--json_out", default=None,
+                        help="also write metrics as JSON to this path")
+    args, overrides = parser.parse_known_args(argv)
+
+    from cvm_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.checkpoints import load_params_cfg
+    from cvm_tpu.train.evaluate import evaluate_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model(args.model)
+    # The checkpoint is self-describing: use the SAVED config (so optimizer/
+    # EMA/accum state templates match the on-disk tree), with CLI overrides
+    # applied on top for eval-only knobs.
+    ckpt_dir = f"{args.workdir}/checkpoints"
+    try:
+        cfg = load_params_cfg(ckpt_dir, spec.params_cls)
+    except (FileNotFoundError, OSError):
+        cfg = spec.params_cls()
+    if overrides:
+        base = cfg.to_dict()
+        cli_cfg = spec.params_cls.from_cli(overrides).to_dict()
+        default = spec.params_cls().to_dict()
+        base.update({k: v for k, v in cli_cfg.items() if v != default[k]})
+        cfg = spec.params_cls.from_dict(base)
+    if args.pad_hw:
+        pad_hw = tuple(int(x) for x in args.pad_hw.split(","))
+    else:
+        pad_hw = (int(cfg.input_hw[0] * 1.5), int(cfg.input_hw[1] * 1.5))
+
+    trainer = Trainer(spec, cfg, checkpoint_dir=ckpt_dir)
+    trainer.init_state()
+    step = int(trainer.state.step)
+    if step == 0:
+        print(f"[cvm_tpu] WARNING: no checkpoint restored from "
+              f"{args.workdir}/checkpoints — evaluating fresh init", file=sys.stderr)
+
+    if args.data == "synthetic":
+        import numpy as np
+
+        from cvm_tpu.data.synthetic import synthetic_batch
+
+        nc = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 3))
+        rng = np.random.default_rng(999)
+        val = [
+            synthetic_batch(rng, cfg.batch_size, pad_hw, num_classes=min(nc, 10),
+                            two_frame=(args.model == "dmds"))
+            for _ in range(args.batches)
+        ]
+    else:
+        from cvm_tpu.data.loader import RecordLoader
+        from cvm_tpu.data.records import RecordDataset
+
+        ds = RecordDataset([args.data])
+        train_ids, val_ids = ds.split_ids()
+        ids = {"val": val_ids, "train": train_ids, "all": None}[args.split]
+        val = RecordLoader(ds, cfg.batch_size, pad_hw, ids=ids, shuffle=False,
+                           loop=False, max_objects=getattr(cfg, "max_objects", 128))
+
+    variables = {"params": trainer.eval_params,
+                 "batch_stats": trainer.state.batch_stats}
+    m = evaluate_model(spec, cfg, variables, val, max_batches=args.batches,
+                       mesh=trainer.mesh)
+    print(f"[cvm_tpu] eval model={args.model} step={step} split={args.split}: "
+          f"{json.dumps(m, sort_keys=True)}", flush=True)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"model": args.model, "step": step, **m}, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,7 +40,7 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
     # Host round-trip strips mesh shardings so the artifact is single-device
     # portable (serving replication is the runtime's concern, not the export's).
     variables = jax.device_get(
-        {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
+        {"params": trainer.eval_params, "batch_stats": trainer.state.batch_stats}
     )
 
     pad_hw = pad_hw or (int(cfg.input_hw[0] * 1.5) // 2 * 2,
@@ -89,11 +89,11 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
         # SURVEY.md §3.5).
         from cvm_tpu.infer.quantize import quantization_error, quantize_params
 
-        qparams, qstats = quantize_params(trainer.state.params)
-        qstats["max_rel_error"] = quantization_error(trainer.state.params, qparams)
+        qparams, qstats = quantize_params(trainer.eval_params)
+        qstats["max_rel_error"] = quantization_error(trainer.eval_params, qparams)
         _flatten("params", qparams)
     else:
-        _flatten("params", jax.device_get(trainer.state.params))
+        _flatten("params", jax.device_get(trainer.eval_params))
     _flatten("batch_stats", jax.device_get(trainer.state.batch_stats))
     np.savez(os.path.join(out_dir, "weights.npz"), **flat)
     meta = {

@@ -70,7 +70,7 @@ def main(argv=None):
     gen = batches()
     names, first = next(gen)
     trainer.init_state(first)
-    variables = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
+    variables = {"params": trainer.eval_params, "batch_stats": trainer.state.batch_stats}
     pipe = InferencePipeline(spec, cfg, variables, mesh=trainer.mesh)
 
     if args.visualize:
@@ -92,14 +92,24 @@ def main(argv=None):
             if "depth" in out:
                 d = np.asarray(out["depth"][i])
                 rec["depth_mean"] = float(d.mean())
+            if "centers3d" in out:
+                keep = np.asarray(out["scores"][i]) >= args.score_threshold
+                rec["centers3d"] = np.asarray(out["centers3d"][i])[keep].tolist()
+                rec["dims3d"] = np.asarray(out["dims"][i])[keep].tolist()
+                rec["yaw"] = np.asarray(out["yaw"][i])[keep].tolist()
             print(json.dumps(rec), flush=True)
             if args.visualize:
                 from cvm_tpu.infer.visualize import render_sample
 
+                vis = {k: np.asarray(v[i]) for k, v in out.items()}
+                if "centers3d" in out and "intrinsics" in batch:
+                    # 3D wireframes project with ORIGINAL-image intrinsics
+                    # (the drawing happens on the undistorted source frame).
+                    vis["intrinsics"] = np.asarray(batch["intrinsics"][i])
                 render_sample(
                     os.path.join(args.visualize, f"{os.path.basename(str(name))}.png"),
                     batch["image"][i], batch["image_hw"][i],
-                    {k: np.asarray(v[i]) for k, v in out.items()},
+                    vis,
                     args.score_threshold,
                 )
 

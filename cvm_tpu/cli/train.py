@@ -120,7 +120,7 @@ def main(argv=None):
             _, val_ids = ds.split_ids()
             val = _RL(ds, cfg.batch_size, pad_hw, ids=val_ids, shuffle=False,
                       loop=False, max_objects=getattr(cfg, "max_objects", 128))
-        variables = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
+        variables = {"params": trainer.eval_params, "batch_stats": trainer.state.batch_stats}
         m = evaluate_model(spec, cfg, variables, val, max_batches=args.eval_batches,
                            mesh=trainer.mesh)
         print(f"[cvm_tpu] eval@{int(trainer.state.step)}: {m}", flush=True)

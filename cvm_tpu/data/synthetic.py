@@ -94,11 +94,12 @@ def synthetic_batch(
                             ("image", "image_hw", "boxes", "classes", "num_objects", "mask", "depth")}
     if two_frame:
         out["image_t1"] = []
-        out["intrinsics"] = []
     if with_3d:
         out["loc3d"] = []
         out["dims3d"] = []
         out["rot_y"] = []
+    if two_frame or with_3d:
+        out["intrinsics"] = []  # monocular 3D decode and DMDS both need K
     for _ in range(batch_size):
         if vary_sizes:
             H = int(rng.integers(int(Hm * 0.7), Hm + 1))
@@ -140,6 +141,7 @@ def synthetic_batch(
             dx, dy = int(rng.integers(-4, 5)), int(rng.integers(-2, 3))
             img2 = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
             out["image_t1"].append(img2)
+        if two_frame or with_3d:
             out["intrinsics"].append(
                 np.array([0.9 * W, 0.9 * W, W / 2.0, H / 2.0], np.float32)
             )

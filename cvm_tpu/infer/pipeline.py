@@ -22,14 +22,36 @@ from cvm_tpu.parallel.mesh import batch_sharding, replicated
 from cvm_tpu.pipeline.preprocess import preprocess_image_batch, preprocess_yuv420_batch
 
 
-def _postprocess(spec_name: str, params_cfg, out, rois) -> Dict[str, jnp.ndarray]:
+def _postprocess(
+    spec_name: str, params_cfg, out, rois, intrinsics=None
+) -> Dict[str, jnp.ndarray]:
     res: Dict[str, jnp.ndarray] = {}
     if spec_name in ("centernet", "multitask"):
         stride = getattr(params_cfg, "stride", getattr(params_cfg, "det_stride", 4))
-        det = decode_centernet(
-            out["heatmap"], out["offset"], out["size"], stride=stride,
-            top_k=getattr(params_cfg, "top_k", 100),
-        )
+        top_k = getattr(params_cfg, "top_k", 100)
+        if intrinsics is not None and "depth3d" in out:
+            # Monocular 3D serving (KITTI/nuScenes with_3d configs): peaks →
+            # metric camera-frame boxes. The intrinsics arrive in
+            # original-image pixels and are mapped through the SAME ROI as
+            # the image (ops/warp.scale_intrinsics), so back-projection uses
+            # model-input-frame focal lengths/centers.
+            from cvm_tpu.ops.decode import decode_centernet_3d
+            from cvm_tpu.ops.warp import scale_intrinsics
+
+            intr_in = scale_intrinsics(intrinsics, rois)
+            d3 = decode_centernet_3d(
+                out["heatmap"], out["offset"], out["size"], out["depth3d"],
+                out["dims3d"], out["rot"], intr_in, stride=stride, top_k=top_k,
+            )
+            det = d3.det
+            res["centers3d"] = d3.centers3d
+            res["dims"] = d3.dims
+            res["yaw"] = d3.yaw
+        else:
+            det = decode_centernet(
+                out["heatmap"], out["offset"], out["size"], stride=stride,
+                top_k=top_k,
+            )
         boxes = jax.vmap(map_boxes_to_input)(det.boxes, rois)
         res["boxes"] = boxes
         res["scores"] = det.scores
@@ -78,35 +100,65 @@ class InferencePipeline:
             apply_fn = base_apply
         self._apply = apply_fn
 
+        # Monocular 3D serving when the model has 3D heads; the pipeline then
+        # takes per-image [fx, fy, cx, cy] (original-image pixels) alongside
+        # the images.
+        self.with_3d = bool(getattr(params_cfg, "with_3d", False))
+
+        with_3d = self.with_3d
+
+        def run_yuv(variables, y, u, v, image_hw, intrinsics):
+            proc, rois = preprocess_yuv420_batch(
+                None, y, u, v, image_hw, out_hw, train=False,
+                out_dtype=jnp.bfloat16,
+            )
+            out = self._apply(variables, proc, train=False)
+            return _postprocess(spec.name, params_cfg, out, rois, intrinsics)
+
+        def run_rgb(variables, images, image_hw, images_t1, intrinsics):
+            proc, rois = preprocess_image_batch(
+                None, images, image_hw, out_hw, train=False,
+                out_dtype=jnp.bfloat16,
+            )
+            if is_dmds:
+                proc_b, _ = preprocess_image_batch(
+                    None, images_t1, image_hw, out_hw, train=False,
+                    out_dtype=jnp.bfloat16,
+                )
+                proc = jnp.concatenate([proc, proc_b], axis=-1)
+            out = self._apply(variables, proc, train=False)
+            return _postprocess(spec.name, params_cfg, out, rois, intrinsics)
+
         if input_format == "yuv420":
             # Bandwidth-optimal serving path: host ships 4:2:0 planes
             # (half the bytes of RGB); chroma upsample + color conversion
             # fuse into the device preprocess.
-            def predict(variables, y, u, v, image_hw):
-                proc, rois = preprocess_yuv420_batch(
-                    None, y, u, v, image_hw, out_hw, train=False,
-                    out_dtype=jnp.bfloat16,
-                )
-                out = self._apply(variables, proc, train=False)
-                return _postprocess(spec.name, params_cfg, out, rois)
+            if with_3d:
+                def predict(variables, y, u, v, image_hw, intrinsics):
+                    return run_yuv(variables, y, u, v, image_hw, intrinsics)
 
-            n_data_args = 4
+                n_data_args = 5
+            else:
+                def predict(variables, y, u, v, image_hw):
+                    return run_yuv(variables, y, u, v, image_hw, None)
+
+                n_data_args = 4
         else:
-            def predict(variables, images, image_hw, images_t1=None):
-                proc, rois = preprocess_image_batch(
-                    None, images, image_hw, out_hw, train=False,
-                    out_dtype=jnp.bfloat16,
-                )
-                if is_dmds:
-                    proc_b, _ = preprocess_image_batch(
-                        None, images_t1, image_hw, out_hw, train=False,
-                        out_dtype=jnp.bfloat16,
-                    )
-                    proc = jnp.concatenate([proc, proc_b], axis=-1)
-                out = self._apply(variables, proc, train=False)
-                return _postprocess(spec.name, params_cfg, out, rois)
+            if is_dmds:
+                def predict(variables, images, image_hw, images_t1):
+                    return run_rgb(variables, images, image_hw, images_t1, None)
 
-            n_data_args = 3 if is_dmds else 2
+                n_data_args = 3
+            elif with_3d:
+                def predict(variables, images, image_hw, intrinsics):
+                    return run_rgb(variables, images, image_hw, None, intrinsics)
+
+                n_data_args = 3
+            else:
+                def predict(variables, images, image_hw):
+                    return run_rgb(variables, images, image_hw, None, None)
+
+                n_data_args = 2
 
         kw = {}
         if mesh is not None:
@@ -120,13 +172,29 @@ class InferencePipeline:
 
     def __call__(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
         """batch: image (B, Hm, Wm, 3) uint8 + image_hw (B, 2); dmds adds
-        image_t1; yuv420 format instead takes y/u/v planes + image_hw."""
+        image_t1; yuv420 format instead takes y/u/v planes + image_hw; with_3d
+        configs additionally take intrinsics (B, 4) in original-image px."""
+        import numpy as _np
+
+        def intr():
+            if "intrinsics" in batch:
+                return batch["intrinsics"]
+            # No intrinsics provided: identity-ish placeholder (3D outputs
+            # will be geometrically meaningless but shapes stay valid).
+            B = batch["image_hw"].shape[0]
+            return _np.tile(_np.asarray([[1.0, 1.0, 0.0, 0.0]], _np.float32), (B, 1))
+
         if self.input_format == "yuv420":
-            return self._predict(
-                self._variables, batch["y"], batch["u"], batch["v"], batch["image_hw"]
-            )
+            args = (batch["y"], batch["u"], batch["v"], batch["image_hw"])
+            if self.with_3d:
+                args += (intr(),)
+            return self._predict(self._variables, *args)
         if self.spec.name == "dmds":
             return self._predict(
                 self._variables, batch["image"], batch["image_hw"], batch["image_t1"]
+            )
+        if self.with_3d:
+            return self._predict(
+                self._variables, batch["image"], batch["image_hw"], intr()
             )
         return self._predict(self._variables, batch["image"], batch["image_hw"])

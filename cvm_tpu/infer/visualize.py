@@ -29,9 +29,45 @@ def render_sample(out_path: str, image, image_hw, outputs: Dict[str, np.ndarray]
             if s < score_threshold:
                 continue
             x0, y0, x1, y1 = [float(v) for v in b]
+            x0, x1 = sorted((x0, x1))  # tolerate degenerate/inverted boxes
+            y0, y1 = sorted((y0, y1))
             color = tuple(int(v) for v in SEMSEG_PALETTE[int(c) % len(SEMSEG_PALETTE)])
             draw.rectangle([x0, y0, x1, y1], outline=color, width=2)
             draw.text((x0 + 2, max(y0 - 10, 0)), f"{int(c)}:{float(s):.2f}", fill=color)
+
+    if "centers3d" in outputs and "intrinsics" in outputs:
+        # Monocular 3D wireframes (reference: KITTI 3D drawing, SURVEY.md §2
+        # "CenterNet processor" optional 3D targets). Camera frame: X right,
+        # Y down, Z forward; yaw rotates about the vertical (Y) axis.
+        fx, fy, cx, cy = [float(v) for v in outputs["intrinsics"]]
+        scores = outputs.get("scores", np.ones(len(outputs["centers3d"])))
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7),
+                 (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+        for k in range(len(outputs["centers3d"])):
+            if float(scores[k]) < score_threshold:
+                continue
+            X, Y, Z = [float(v) for v in outputs["centers3d"][k]]
+            if Z <= 0.5:
+                continue
+            bh, bw, bl = [float(v) for v in outputs["dims"][k]]
+            yaw = float(outputs["yaw"][k])
+            cs, sn = np.cos(yaw), np.sin(yaw)
+            corners = []
+            for sx in (-0.5, 0.5):
+                for sy in (-0.5, 0.5):
+                    for sz in (-0.5, 0.5):
+                        # local (l, h, w) box, heading along local x
+                        lx, ly, lz = sx * bl, sy * bh, sz * bw
+                        wx = cs * lx + sn * lz + X
+                        wz = -sn * lx + cs * lz + Z
+                        corners.append((wx, ly + Y, wz))
+            order = [0, 1, 3, 2, 4, 5, 7, 6]  # ring order per face
+            corners = [corners[i] for i in order]
+            pts = [((fx * x / z) + cx, (fy * y / z) + cy) for x, y, z in corners]
+            cls = int(outputs.get("classes", np.zeros(1))[min(k, len(outputs.get("classes", [0])) - 1)])
+            color = tuple(int(v) for v in SEMSEG_PALETTE[cls % len(SEMSEG_PALETTE)])
+            for a, b in edges:
+                draw.line([pts[a], pts[b]], fill=color, width=1)
 
     if "class_map" in outputs:
         cm = np.asarray(outputs["class_map"])

@@ -19,6 +19,14 @@ class BaseParams:
     # Shard the widest backbone convs over the mesh "model" axis
     # (parallel/sharding.py tp_rules_for; consumed by train.loop.Trainer).
     tensor_parallel: bool = False
+    # Exponential moving average of params (0 = off). When on, the train step
+    # maintains a shadow param tree updated as ema = d*ema + (1-d)*p; eval,
+    # checkpoints, and export use the EMA weights (Trainer.eval_params).
+    ema_decay: float = 0.0
+    # Accumulate gradients over k micro-batches before applying the optimizer
+    # (optax.MultiSteps) — k * batch_size effective batch with unchanged
+    # device memory for activations.
+    grad_accum_steps: int = 1
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -1,0 +1,133 @@
+"""EMA shadow params + gradient accumulation (train-loop features).
+
+EMA: shadow tree updated inside the compiled step, used by eval/export
+(Trainer.eval_params). Accumulation: optax.MultiSteps applies the optimizer
+every k micro-batches — k steps with batch b must equal one step with batch
+k*b up to fp tolerance (same grads by linearity of the mean loss).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvm_tpu.data.synthetic import synthetic_iterator
+from cvm_tpu.models import get_model
+from cvm_tpu.train.loop import Trainer
+
+
+def _tiny_params(**kw):
+    return get_model("semseg").params_cls(
+        input_hw=(32, 32), num_classes=3, backbone="tiny", decoder_features=16,
+        class_weights=(1.0, 1.0, 1.0), learning_rate=1e-3, warmup_steps=2,
+        total_steps=100, **kw
+    )
+
+
+def _leaves_close(a, b, **kw):
+    fa, fb = jax.tree.leaves(a), jax.tree.leaves(b)
+    return all(np.allclose(x, y, **kw) for x, y in zip(fa, fb))
+
+
+def test_ema_tracks_params():
+    p = _tiny_params(ema_decay=0.9)
+    spec = get_model("semseg")
+    tr = Trainer(spec, p, log_every=1)
+    it = synthetic_iterator(0, 8, (48, 48), num_classes=3)
+    tr.init_state(next(it))
+
+    # At init the shadow equals the params exactly.
+    assert _leaves_close(tr.state.ema_params, tr.state.params)
+
+    p0 = jax.device_get(tr.state.params)
+    for _ in range(4):
+        raw = jax.tree.map(lambda x: jax.device_put(x, tr._batch_sh), next(it))
+        tr.key, sub = jax.random.split(tr.key)
+        tr.state, _ = tr.train_step(tr.state, raw, sub)
+
+    params = jax.device_get(tr.state.params)
+    ema = jax.device_get(tr.state.ema_params)
+    # The shadow moved off init but lags the raw params (trails by decay).
+    assert not _leaves_close(ema, p0)
+    assert not _leaves_close(ema, params)
+    d_ema = np.sqrt(sum(np.sum((e - i) ** 2) for e, i in
+                        zip(jax.tree.leaves(ema), jax.tree.leaves(p0))))
+    d_par = np.sqrt(sum(np.sum((q - i) ** 2) for q, i in
+                        zip(jax.tree.leaves(params), jax.tree.leaves(p0))))
+    assert d_ema < d_par, "EMA must trail the raw params"
+    # eval_params surfaces the shadow.
+    assert tr.eval_params is tr.state.ema_params
+
+
+def test_ema_off_keeps_empty_subtree():
+    p = _tiny_params()
+    tr = Trainer(get_model("semseg"), p, log_every=1)
+    it = synthetic_iterator(0, 8, (48, 48), num_classes=3)
+    tr.init_state(next(it))
+    assert jax.tree.leaves(tr.state.ema_params) == []
+    assert tr.eval_params is tr.state.params
+
+
+def test_grad_accum_matches_big_batch():
+    """2 applies of k=2 accumulation at batch 8 ~= 2 steps at batch 16.
+
+    (Two optimizer applies because the warmup schedule's first apply has
+    LR=0 — zero updates would make the comparison vacuous.)
+    """
+    spec = get_model("semseg")
+    it = synthetic_iterator(3, 16, (48, 48), num_classes=3)
+    bigs = [next(it), next(it)]
+    halves = []
+    for big in bigs:
+        halves.append(jax.tree.map(lambda x: x[:8], big))
+        halves.append(jax.tree.map(lambda x: x[8:], big))
+
+    key = jax.random.PRNGKey(7)
+
+    # Oracle: two batch-16 steps.
+    p1 = _tiny_params()
+    tr1 = Trainer(spec, p1, log_every=1)
+    tr1.init_state(bigs[0])
+    init_params = jax.device_get(tr1.state.params)  # before donation
+    s1 = tr1.state
+    for big in bigs:
+        s1, _ = tr1.train_step(s1, jax.tree.map(
+            lambda x: jax.device_put(x, tr1._batch_sh), big), key)
+
+    # Accumulating run: four batch-8 micro-steps → two optimizer applies.
+    p2 = _tiny_params(grad_accum_steps=2)
+    tr2 = Trainer(spec, p2, log_every=1)
+    tr2.init_state(halves[0])
+    s2 = tr2.state
+    for j, h in enumerate(halves):
+        s2, _ = tr2.train_step(s2, jax.tree.map(
+            lambda x: jax.device_put(x, tr2._batch_sh), h), key)
+        if j == 0:
+            # After micro-step 1 params are UNCHANGED (grads only accumulated).
+            assert _leaves_close(jax.device_get(s2.params), init_params)
+
+    # Both saw the same 32 samples through the same number of applies.
+    # Augmentation draws differ (different fold_in streams), so compare
+    # update direction/magnitude loosely — catches wrong normalization
+    # (sum vs mean across micro-batches) outright.
+    d_updates = []
+    for a, b, i in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                       jax.tree.leaves(jax.device_get(s2.params)),
+                       jax.tree.leaves(init_params)):
+        ua, ub = a - i, b - i
+        na, nb = np.linalg.norm(ua), np.linalg.norm(ub)
+        if na > 1e-8 and nb > 1e-8:
+            d_updates.append(nb / na)
+    assert d_updates, "all updates were zero — schedule/apply wiring broken"
+    r = float(np.median(d_updates))
+    assert 0.5 < r < 2.0, f"accumulated update magnitude off: ratio {r}"
+
+
+def test_fit_loop_runs_without_per_step_sync():
+    """fit() tracks steps host-side; metrics still correct at log points."""
+    p = _tiny_params()
+    tr = Trainer(get_model("semseg"), p, log_every=2)
+    it = synthetic_iterator(0, 8, (48, 48), num_classes=3)
+    tr.init_state(next(it))
+    last = tr.fit(it, num_steps=6)
+    assert np.isfinite(last["loss"])
+    assert int(tr.state.step) == 6

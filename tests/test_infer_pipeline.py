@@ -43,6 +43,38 @@ def test_pipeline_single_frame_models(name, rng):
         assert out["depth"].shape == (2, 64, 64, 1)
 
 
+def test_pipeline_centernet_3d_serving(rng):
+    """with_3d configs decode metric camera-frame boxes inside the jitted
+    program (intrinsics mapped through the same ROI as the image)."""
+    spec = get_model("centernet")
+    p = spec.params_cls(input_hw=(64, 64), backbone="tiny", num_classes=3,
+                        neck_features=32, head_features=16, top_k=10,
+                        with_3d=True)
+    pipe = InferencePipeline(spec, p, _variables(spec, p))
+    batch = synthetic_batch(np.random.default_rng(0), 2, (96, 96), num_classes=3,
+                            with_3d=True)
+    assert "intrinsics" in batch
+    out = pipe(batch)
+    assert out["centers3d"].shape == (2, 10, 3)
+    assert out["dims"].shape == (2, 10, 3)
+    assert out["yaw"].shape == (2, 10)
+    assert np.isfinite(np.asarray(out["centers3d"])).all()
+    # Depths decode positive (1/sigmoid - 1 parameterization).
+    assert (np.asarray(out["centers3d"])[..., 2] > 0).all()
+
+    # 3D wireframe rendering path (host side) runs on the same outputs.
+    import tempfile, os
+    from cvm_tpu.infer.visualize import render_sample
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "r.png")
+        vis = {k: np.asarray(v[0]) for k, v in out.items()}
+        vis["intrinsics"] = np.asarray(batch["intrinsics"][0])
+        render_sample(path, batch["image"][0], batch["image_hw"][0], vis,
+                      score_threshold=-1.0)  # draw regardless of confidence
+        assert os.path.getsize(path) > 0
+
+
 def test_pipeline_dmds_two_frame(rng):
     spec = get_model("dmds")
     p = spec.params_cls(input_hw=(64, 64), backbone="tiny", decoder_features=16,
