@@ -1,0 +1,96 @@
+"""Measure the W8A8 int8 serving path vs bf16 on the real chip.
+
+Round-1 parked W8A8 after measuring int8 convs 25x slower than bf16; the
+round-2 relay-robust probe (int8_probe.py) shows int8 convs at ~1.15x and
+int8 matmuls at ~1.28x bf16 throughput on this backend — so re-measure the
+actual CenterNet forward under the w8a8 interceptor (infer/quantize.py)
+with the relay-robust harness and decide whether the int8 path graduates
+from opt-in.
+
+Usage: PYTHONPATH=/root/repo python benchmarks/w8a8_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks.profile_e2e import _time_fn  # relay-robust pipelined timer
+
+
+def main(batch_size: int = 8, iters: int = 20) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from cvm_tpu.cli.benchmark import _compiled_flops, _device_peak_tflops
+    from cvm_tpu.infer.quantize import w8a8_inference
+    from cvm_tpu.models import get_model
+
+    spec = get_model("centernet")
+    cfg = spec.params_cls(batch_size=batch_size)
+    model = spec.create_model(cfg)
+    rng = np.random.default_rng(0)
+    B = cfg.batch_size
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *cfg.input_hw, 3)), train=False)
+    xs = [jax.device_put(np.asarray(
+        rng.standard_normal((B, *cfg.input_hw, 3)), np.float32).astype(jnp.bfloat16))
+        for _ in range(8)]
+    jax.block_until_ready(xs)
+
+    def fwd_bf16(variables, x):
+        out = model.apply(variables, x, train=False)
+        return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
+
+    def fwd_w8a8(variables, x):
+        with w8a8_inference():
+            out = model.apply(variables, x, train=False)
+        return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
+
+    peak, kind = _device_peak_tflops()
+    res = {}
+    for name, fn in (("bf16", fwd_bf16), ("w8a8", fwd_w8a8)):
+        jfn = jax.jit(fn)
+        dt = _time_fn(jfn, [(variables, x) for x in xs], iters=iters)
+        flops = 0.0
+        try:
+            flops = _compiled_flops(jfn.lower(variables, xs[0]).compile())
+        except Exception:
+            pass
+        rec = {"variant": name, "ms_per_batch": round(dt * 1e3, 3),
+               "images_per_sec": round(B / dt, 1)}
+        if flops:
+            achieved = flops / dt / 1e12
+            rec["gflops"] = round(flops / 1e9, 2)
+            rec["achieved_tflops"] = round(achieved, 2)
+            if peak and achieved > 2 * peak:  # int8 peak is 2x bf16 peak
+                rec["INVALID"] = "implied rate above int8 peak"
+        res[name] = rec
+        print(json.dumps(rec), flush=True)
+
+    speedup = res["bf16"]["ms_per_batch"] / res["w8a8"]["ms_per_batch"]
+    print(json.dumps({"w8a8_speedup_vs_bf16": round(speedup, 3),
+                      "device": kind}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    a = ap.parse_args()
+    sys.exit(main(a.batch_size, a.iters))

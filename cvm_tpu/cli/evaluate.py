@@ -72,7 +72,8 @@ def main(argv=None):
         rng = np.random.default_rng(999)
         val = [
             synthetic_batch(rng, cfg.batch_size, pad_hw, num_classes=min(nc, 10),
-                            two_frame=(args.model == "dmds"))
+                            two_frame=(args.model == "dmds"),
+                            with_3d=getattr(cfg, "with_3d", False))
             for _ in range(args.batches)
         ]
     else:

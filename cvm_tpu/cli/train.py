@@ -74,6 +74,7 @@ def main(argv=None):
         it = synthetic_iterator(
             args.seed, cfg.batch_size, pad_hw, num_classes=min(nc, 10),
             two_frame=(args.model == "dmds"),
+            with_3d=getattr(cfg, "with_3d", False),
         )
     else:
         from cvm_tpu.data.loader import RecordLoader
@@ -111,7 +112,8 @@ def main(argv=None):
             _rng = _np.random.default_rng(999)
             val = [
                 synthetic_batch(_rng, cfg.batch_size, pad_hw, num_classes=min(nc, 10),
-                                two_frame=(args.model == "dmds"))
+                                two_frame=(args.model == "dmds"),
+                                with_3d=getattr(cfg, "with_3d", False))
                 for _ in range(args.eval_batches)
             ]
         else:

@@ -163,9 +163,11 @@ def synthetic_iterator(
     num_classes: int = 3,
     max_objects: int = 8,
     two_frame: bool = False,
+    with_3d: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     rng = np.random.default_rng(seed)
     while True:
         yield synthetic_batch(
-            rng, batch_size, pad_hw, num_classes, max_objects, two_frame=two_frame
+            rng, batch_size, pad_hw, num_classes, max_objects,
+            two_frame=two_frame, with_3d=with_3d,
         )

@@ -108,6 +108,56 @@ class DetectionEvaluator:
         return out
 
 
+class Detection3dEvaluator:
+    """Monocular 3D box quality on 2D-matched true positives.
+
+    Detections are matched to GT greedily on 2D IoU (>= 0.5, class-aware,
+    score-ordered); on the matches we accumulate camera-frame center error
+    (the nuScenes-style center-distance view of 3D quality) and depth
+    abs-rel. Reported alongside the 2D mAP for with_3d configs.
+    """
+
+    def __init__(self, iou_threshold: float = 0.5, score_threshold: float = 0.3):
+        self.iou = iou_threshold
+        self.score = score_threshold
+        self.center_err = 0.0
+        self.depth_abs_rel = 0.0
+        self.n_matched = 0
+        self.n_gt = 0
+
+    def add_image(self, det_boxes, det_scores, det_classes, det_centers3d,
+                  gt_boxes, gt_classes, gt_loc3d) -> None:
+        self.n_gt += len(gt_boxes)
+        keep = det_scores >= self.score
+        boxes, scores = det_boxes[keep], det_scores[keep]
+        classes, centers = det_classes[keep], det_centers3d[keep]
+        order = np.argsort(-scores)
+        iou = box_iou_matrix(boxes[order], gt_boxes)
+        used = np.zeros(len(gt_boxes), bool)
+        for r, d in enumerate(order):
+            cand = np.where((iou[r] >= self.iou) & ~used
+                            & (gt_classes == classes[d]))[0]
+            if len(cand) == 0:
+                continue
+            g = cand[np.argmax(iou[r][cand])]
+            used[g] = True
+            dz = float(gt_loc3d[g][2])
+            if dz <= 0:
+                continue
+            err = float(np.linalg.norm(centers[d] - gt_loc3d[g]))
+            self.center_err += err
+            self.depth_abs_rel += abs(float(centers[d][2]) - dz) / dz
+            self.n_matched += 1
+
+    def compute(self) -> Dict[str, float]:
+        n = max(self.n_matched, 1)
+        return {
+            "center_err_3d_m": self.center_err / n,
+            "depth3d_abs_rel": self.depth_abs_rel / n,
+            "matched_3d_frac": self.n_matched / max(self.n_gt, 1),
+        }
+
+
 class SemsegEvaluator:
     """Streaming confusion matrix → per-class IoU + mIoU + pixel acc."""
 
@@ -176,11 +226,13 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
     from cvm_tpu.infer.pipeline import InferencePipeline
 
     pipe = None  # built on the first batch once the format is known
-    det_eval = seg_eval = dep_eval = None
+    det_eval = seg_eval = dep_eval = det3d_eval = None
     if spec.name in ("centernet", "multitask"):
         det_eval = DetectionEvaluator(
             getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 0))
         )
+        if getattr(cfg, "with_3d", False):
+            det3d_eval = Detection3dEvaluator()
     if spec.name in ("semseg", "multitask"):
         seg_eval = SemsegEvaluator(
             getattr(cfg, "num_classes", getattr(cfg, "num_seg_classes", 0)),
@@ -212,6 +264,14 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
                     out["boxes"][i], out["scores"][i], out["classes"][i],
                     np.asarray(batch["boxes"][i][:ng]), np.asarray(batch["classes"][i][:ng]),
                 )
+                if det3d_eval is not None and "centers3d" in out and "loc3d" in batch:
+                    det3d_eval.add_image(
+                        out["boxes"][i], out["scores"][i], out["classes"][i],
+                        out["centers3d"][i],
+                        np.asarray(batch["boxes"][i][:ng]),
+                        np.asarray(batch["classes"][i][:ng]),
+                        np.asarray(batch["loc3d"][i][:ng]),
+                    )
             if seg_eval is not None and "mask" in batch:
                 # GT mask resampled with the same eval-letterbox geometry.
                 h, w = int(batch["image_hw"][i][0]), int(batch["image_hw"][i][1])
@@ -238,6 +298,8 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
     metrics: Dict[str, float] = {}
     if det_eval is not None:
         metrics.update(det_eval.compute())
+    if det3d_eval is not None:
+        metrics.update(det3d_eval.compute())
     if seg_eval is not None:
         metrics.update(seg_eval.compute())
     if dep_eval is not None:

@@ -5,6 +5,7 @@ import pytest
 
 from cvm_tpu.train.evaluate import (
     DepthEvaluator,
+    Detection3dEvaluator,
     DetectionEvaluator,
     SemsegEvaluator,
     box_iou_matrix,
@@ -69,6 +70,46 @@ def test_depth_evaluator():
     assert m["abs_rel"] == pytest.approx((0 + 1.0) / 2)
     assert m["delta1"] == pytest.approx(0.5)
     assert m["rmse"] == pytest.approx(np.sqrt(100 / 2))
+
+
+def test_detection3d_evaluator():
+    """Hand-checkable 3D match: one TP with known center error, one miss."""
+    ev = Detection3dEvaluator(iou_threshold=0.5, score_threshold=0.3)
+    gt = np.array([[0, 0, 10, 10], [30, 30, 40, 40]], np.float32)
+    gtc = np.array([0, 1])
+    gt3d = np.array([[1.0, 0.5, 10.0], [2.0, 1.0, 20.0]], np.float32)
+    # Det 0 matches GT 0 (same box, class 0), predicted center off by 1m in z.
+    # Det 1 is low-score → dropped. GT 1 unmatched.
+    det = np.array([[0, 0, 10, 10], [30, 30, 40, 40]], np.float32)
+    ev.add_image(det, np.array([0.9, 0.1]), np.array([0, 1]),
+                 np.array([[1.0, 0.5, 11.0], [0, 0, 5.0]], np.float32),
+                 gt, gtc, gt3d)
+    m = ev.compute()
+    assert m["center_err_3d_m"] == pytest.approx(1.0, abs=1e-6)
+    assert m["depth3d_abs_rel"] == pytest.approx(0.1, abs=1e-6)
+    assert m["matched_3d_frac"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_evaluate_model_e2e_centernet_3d():
+    """with_3d evaluate_model reports 3D metrics through the full pipeline."""
+    import jax
+
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+
+    spec = get_model("centernet")
+    p = spec.params_cls(input_hw=(64, 64), num_classes=3, max_objects=6,
+                        backbone="tiny", neck_features=32, head_features=16,
+                        top_k=20, with_3d=True)
+    model = spec.create_model(p)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 3), np.float32), train=False)
+    rng = np.random.default_rng(0)
+    batches = [synthetic_batch(rng, 2, (96, 96), num_classes=3, max_objects=6,
+                               with_3d=True) for _ in range(2)]
+    m = evaluate_model(spec, p, variables, batches)
+    assert "center_err_3d_m" in m and np.isfinite(m["center_err_3d_m"])
+    assert "matched_3d_frac" in m
 
 
 def test_evaluate_model_e2e_centernet():
