@@ -200,11 +200,6 @@ class RecordLoader:
         if self.output_format == "yuv420":
             from cvm_tpu.native import _rgb_to_yuv420_np, decode_jpeg_batch_yuv420
 
-            if any("jpeg_t1" in b or "image_t1" in b for b in blobs):
-                raise ValueError(
-                    "two-frame (jpeg_t1/image_t1) records are not supported in "
-                    "yuv420 output_format; use output_format='rgb' for dmds data"
-                )
             Y = np.zeros((B, Hm, Wm), np.uint8)
             U = np.full((B, Hm // 2, Wm // 2), 128, np.uint8)
             V = np.full((B, Hm // 2, Wm // 2), 128, np.uint8)
@@ -247,6 +242,33 @@ class RecordLoader:
             batch.update(
                 _assemble_labels(metas, blobs, self.pad_hw, self.max_objects, decoded_hw=hw)
             )
+            if any("jpeg_t1" in b or "image_t1" in b for b in blobs):
+                # Two-frame records (DMDS): second frame as its own plane set,
+                # same wire-format savings as frame t.
+                Y1 = np.zeros((B, Hm, Wm), np.uint8)
+                U1 = np.full((B, Hm // 2, Wm // 2), 128, np.uint8)
+                V1 = np.full((B, Hm // 2, Wm // 2), 128, np.uint8)
+                j1 = [(i, b["jpeg_t1"]) for i, b in enumerate(blobs) if "jpeg_t1" in b]
+                if j1:
+                    dy, du, dv, _ = decode_jpeg_batch_yuv420(
+                        [j for _, j in j1], Hm, Wm, self.threads,
+                        target_hw=self.target_hw,
+                    )
+                    for k, (i, _) in enumerate(j1):
+                        Y1[i], U1[i], V1[i] = dy[k], du[k], dv[k]
+                for i, b in enumerate(blobs):
+                    if "image_t1" in b:
+                        r = b["image_t1"]
+                        h, w = r.shape[:2]
+                        r = r[: h - h % 2, : w - w % 2]
+                        h, w = r.shape[:2]
+                        yq, uq, vq = _rgb_to_yuv420_np(r)
+                        Y1[i, :h, :w] = yq
+                        U1[i, : h // 2, : w // 2] = uq
+                        V1[i, : h // 2, : w // 2] = vq
+                batch["y_t1"] = Y1
+                batch["u_t1"] = U1
+                batch["v_t1"] = V1
             return batch
 
         images = np.zeros((B, Hm, Wm, 3), np.uint8)

@@ -153,6 +153,11 @@ def synthetic_batch(
         batch["y"] = np.stack([p[0] for p in planes])
         batch["u"] = np.stack([p[1] for p in planes])
         batch["v"] = np.stack([p[2] for p in planes])
+        if two_frame:
+            planes = [_rgb_to_yuv420_np(im) for im in batch.pop("image_t1")]
+            batch["y_t1"] = np.stack([p[0] for p in planes])
+            batch["u_t1"] = np.stack([p[1] for p in planes])
+            batch["v_t1"] = np.stack([p[2] for p in planes])
     return batch
 
 

@@ -133,7 +133,22 @@ class InferencePipeline:
             # Bandwidth-optimal serving path: host ships 4:2:0 planes
             # (half the bytes of RGB); chroma upsample + color conversion
             # fuse into the device preprocess.
-            if with_3d:
+            if is_dmds:
+                def predict(variables, y, u, v, y1, u1, v1, image_hw):
+                    proc_a, rois = preprocess_yuv420_batch(
+                        None, y, u, v, image_hw, out_hw, train=False,
+                        out_dtype=jnp.bfloat16,
+                    )
+                    proc_b, _ = preprocess_yuv420_batch(
+                        None, y1, u1, v1, image_hw, out_hw, train=False,
+                        out_dtype=jnp.bfloat16,
+                    )
+                    proc = jnp.concatenate([proc_a, proc_b], axis=-1)
+                    out = self._apply(variables, proc, train=False)
+                    return _postprocess(spec.name, params_cfg, out, rois, None)
+
+                n_data_args = 7
+            elif with_3d:
                 def predict(variables, y, u, v, image_hw, intrinsics):
                     return run_yuv(variables, y, u, v, image_hw, intrinsics)
 
@@ -185,6 +200,12 @@ class InferencePipeline:
             return _np.tile(_np.asarray([[1.0, 1.0, 0.0, 0.0]], _np.float32), (B, 1))
 
         if self.input_format == "yuv420":
+            if self.spec.name == "dmds":
+                return self._predict(
+                    self._variables, batch["y"], batch["u"], batch["v"],
+                    batch["y_t1"], batch["u_t1"], batch["v_t1"],
+                    batch["image_hw"],
+                )
             args = (batch["y"], batch["u"], batch["v"], batch["image_hw"])
             if self.with_3d:
                 args += (intr(),)

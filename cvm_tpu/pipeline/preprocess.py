@@ -126,6 +126,23 @@ def preprocess_batch(
     )
 
 
+def resample_yuv420_frame(yp, up, vp, hw, roi, out_hw):
+    """One 4:2:0 frame → (H, W, 3) RGB floats in 0..255 through ``roi``.
+
+    Luma resamples through the ROI directly; chroma through the half-space
+    ROI (no intermediate full-res YUV is materialized). Shared by the batch
+    preprocess and the DMDS two-frame processor.
+    """
+    h, w = hw[0], hw[1]
+    croi = chroma_roi(roi)
+    yr = sample_bilinear(yp[..., None], roi, out_hw, valid_hw=(h, w), pad_value=0.0)
+    ch = (h + 1) // 2
+    cw = (w + 1) // 2
+    ur = sample_bilinear(up[..., None], croi, out_hw, valid_hw=(ch, cw), pad_value=128.0)
+    vr = sample_bilinear(vp[..., None], croi, out_hw, valid_hw=(ch, cw), pad_value=128.0)
+    return yuv_to_rgb(yr[..., 0], ur[..., 0], vr[..., 0])
+
+
 def preprocess_yuv420_batch(
     key: Optional[jax.Array],
     y: jnp.ndarray,
@@ -152,17 +169,9 @@ def preprocess_yuv420_batch(
         key_roi = key_photo = None
     rois = make_rois(key_roi, image_hw, out_hw, train, aug)
 
-    def one(yp, up, vp, hw, roi):
-        h, w = hw[0], hw[1]
-        croi = chroma_roi(roi)
-        yr = sample_bilinear(yp[..., None], roi, out_hw, valid_hw=(h, w), pad_value=0.0)
-        ch = (h + 1) // 2
-        cw = (w + 1) // 2
-        ur = sample_bilinear(up[..., None], croi, out_hw, valid_hw=(ch, cw), pad_value=128.0)
-        vr = sample_bilinear(vp[..., None], croi, out_hw, valid_hw=(ch, cw), pad_value=128.0)
-        return yuv_to_rgb(yr[..., 0], ur[..., 0], vr[..., 0])
-
-    out = jax.vmap(one)(y, u, v, image_hw, rois)
+    out = jax.vmap(
+        lambda yp, up, vp, hw, roi: resample_yuv420_frame(yp, up, vp, hw, roi, out_hw)
+    )(y, u, v, image_hw, rois)
     if train:
         pkeys = jax.random.split(key_photo, y.shape[0])
         out = jax.vmap(

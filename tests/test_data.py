@@ -151,7 +151,7 @@ def test_loader_rescales_labels_on_decoder_downscale(tmp_path, rng):
     assert b["depth"][0, 0, 0] == depth[0, 0]
 
 
-def test_loader_yuv420_raw_blob_and_two_frame_rejection(tmp_path, rng):
+def test_loader_yuv420_raw_blob_and_two_frame(tmp_path, rng):
     p = str(tmp_path / "raw.cvrec")
     img = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
     with RecordWriter(p) as w:
@@ -164,13 +164,17 @@ def test_loader_yuv420_raw_blob_and_two_frame_rejection(tmp_path, rng):
     assert b["y"][0, :40, :60].std() > 1.0  # not a blank frame
     assert (b["y"][0, 40:, :] == 0).all()
 
+    # Two-frame records emit a second plane set (DMDS wire format).
     p2 = str(tmp_path / "two.cvrec")
     with RecordWriter(p2) as w:
-        w.write({"id": "t0"}, {"jpeg": _jpeg_bytes(img), "jpeg_t1": _jpeg_bytes(img)})
+        w.write({"id": "t0"}, {"jpeg": _jpeg_bytes(img), "image_t1": img})
     loader2 = RecordLoader(RecordDataset([p2]), batch_size=1, pad_hw=(48, 64),
                            loop=False, output_format="yuv420", drop_remainder=False)
-    with pytest.raises(ValueError, match="yuv420"):
-        next(iter(loader2))
+    b2 = next(iter(loader2))
+    for k in ("y", "u", "v", "y_t1", "u_t1", "v_t1"):
+        assert k in b2, k
+    assert b2["y_t1"][0, :40, :60].std() > 1.0
+    assert (b2["y_t1"][0, 40:, :] == 0).all()
 
 
 def test_loader_aligns_mismatched_dense_labels_to_frame(tmp_path, rng):

@@ -67,6 +67,53 @@ def test_train_processor_accepts_yuv_batch(rng):
     assert targets["classes"].shape == (B, 32, 32)
 
 
+def test_dmds_two_frame_yuv420(rng):
+    """Two-frame records flow through the yuv420 wire format end-to-end:
+    loader emits *_t1 plane sets, the DMDS processor trains on them, and the
+    serving pipeline runs both frames through one jitted program."""
+    import tempfile
+
+    from cvm_tpu.data.loader import RecordLoader
+    from cvm_tpu.data.records import RecordDataset, RecordWriter
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.infer.pipeline import InferencePipeline
+    from cvm_tpu.models import get_model
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/two.cvrec"
+        with RecordWriter(path) as w:
+            for i in range(4):
+                w.write(
+                    {"id": f"r{i}", "intrinsics": [100.0, 100.0, 60.0, 40.0]},
+                    {"jpeg": _smooth_jpeg(rng, hw=(80, 120)),
+                     "jpeg_t1": _smooth_jpeg(rng, hw=(80, 120))},
+                )
+        ld = RecordLoader(RecordDataset([path]), 2, (96, 128),
+                          output_format="yuv420", shuffle=False, loop=False)
+        batch = next(iter(ld))
+    for k in ("y", "u", "v", "y_t1", "u_t1", "v_t1", "intrinsics"):
+        assert k in batch, k
+    assert batch["y_t1"].shape == batch["y"].shape
+    assert batch["y_t1"][0, :80, :120].std() > 1.0  # real decoded content
+
+    spec = get_model("dmds")
+    p = spec.params_cls(input_hw=(64, 64), backbone="tiny", decoder_features=16,
+                        motion_features=32)
+    # Training processor consumes the yuv420 two-frame batch.
+    proc = spec.make_processor(p, train=False)
+    inputs, targets = jax.jit(lambda k, b: proc(k, b))(None, batch)
+    assert inputs.shape == (2, 64, 64, 6)
+
+    # Serving pipeline, yuv420 two-frame.
+    model = spec.create_model(p)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 6), np.float32), train=False)
+    pipe = InferencePipeline(spec, p, variables, input_format="yuv420")
+    out = pipe(batch)
+    assert out["depth"].shape == (2, 64, 64, 1)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+
+
 def test_yuv420_bad_jpeg():
     Y, U, V, hw = decode_jpeg_batch_yuv420([b"garbage"], 64, 64)
     assert tuple(hw[0]) == (1, 1)
