@@ -27,6 +27,9 @@ class BaseParams:
     # (optax.MultiSteps) — k * batch_size effective batch with unchanged
     # device memory for activations.
     grad_accum_steps: int = 1
+    # LR schedule: warmup_cosine (default) | constant | step (x0.1 at
+    # 60%/85% of total_steps). All keep the linear warmup.
+    lr_schedule: str = "warmup_cosine"
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

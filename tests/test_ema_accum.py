@@ -131,3 +131,28 @@ def test_fit_loop_runs_without_per_step_sync():
     last = tr.fit(it, num_steps=6)
     assert np.isfinite(last["loss"])
     assert int(tr.state.step) == 6
+
+
+def test_lr_schedules():
+    """Schedule shapes: constant holds peak after warmup; step decays x0.1
+    at 60%/85%; cosine ends near 1% of peak."""
+    from cvm_tpu.train.optim import make_schedule
+
+    lr, total, warm = 1e-3, 1000, 100
+    const = make_schedule("constant", lr, total, warm)
+    assert float(const(warm + 1)) == np.float32(lr)
+    assert float(const(total)) == np.float32(lr)
+    assert float(const(0)) < lr * 0.05
+
+    step = make_schedule("step", lr, total, warm)
+    assert abs(float(step(500)) - lr) < 1e-9
+    assert abs(float(step(700)) - lr * 0.1) < 1e-7
+    assert abs(float(step(900)) - lr * 0.01) < 1e-8
+
+    cos = make_schedule("warmup_cosine", lr, total, warm)
+    assert abs(float(cos(warm)) - lr) < 1e-6
+    assert float(cos(total)) <= lr * 0.011
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        make_schedule("nope", lr, total, warm)
