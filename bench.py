@@ -102,7 +102,7 @@ def _make_host_batches(pad_hw, batch_size, n_batches=12, quality=90,
     return batches, float(np.median(decode_times)), t_raw_feed
 
 
-def _tunnel_health_probe(max_wait_s: float = 900.0) -> float:
+def _tunnel_health_probe(max_wait_s: float = 2400.0) -> float:
     """Guard against the relay's degraded mode (observed: a 2048^3 matmul
     taking 7-16 s vs the normal <1 ms, for >1.5 h). A measurement taken in
     that state is garbage, so probe with a small chained matmul and wait

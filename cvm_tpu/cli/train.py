@@ -81,7 +81,10 @@ def main(argv=None):
         from cvm_tpu.data.records import RecordDataset
 
         ds = RecordDataset([args.data])
-        train_ids, _ = ds.split_ids()
+        # Multi-host: each process reads its own stride of the train ids.
+        train_ids, _ = ds.split_ids(
+            shard_index=jax.process_index(), num_shards=jax.process_count()
+        )
         # Scale-aware decode: never decode pixels the letterbox will discard
         # (power-of-2 DCT scale covering ~1.3x the model input, leaving
         # headroom for scale/shift augmentation).

@@ -177,9 +177,22 @@ class RecordDataset:
         s = int(np.searchsorted(self._cum, i, side="right") - 1)
         return self.readers[s].get(i - int(self._cum[s]))
 
-    def split_ids(self, val_fraction: float = 0.1, seed: int = 0):
-        """Deterministic train/val id split (reference's load_ids(), SURVEY.md §2)."""
+    def split_ids(self, val_fraction: float = 0.1, seed: int = 0,
+                  shard_index: int = 0, num_shards: int = 1):
+        """Deterministic train/val id split (reference's load_ids(), SURVEY.md §2).
+
+        ``shard_index``/``num_shards`` additionally stride-partition the
+        TRAIN ids for multi-host input pipelines (each host feeds its own
+        slice of the global batch; pass ``jax.process_index()`` /
+        ``jax.process_count()``). The val split is identical on every host
+        so eval metrics agree.
+        """
         rng = np.random.default_rng(seed)
         ids = rng.permutation(len(self))
         n_val = int(len(self) * val_fraction)
-        return ids[n_val:].tolist(), ids[:n_val].tolist()
+        train = ids[n_val:]
+        if num_shards > 1:
+            if not (0 <= shard_index < num_shards):
+                raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
+            train = train[shard_index::num_shards]
+        return train.tolist(), ids[:n_val].tolist()

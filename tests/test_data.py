@@ -242,3 +242,23 @@ def test_repack_yuv_and_raw_shard_loader(tmp_path, rng):
     np.testing.assert_array_equal(bj["mask"], br["mask"])
     diff = np.abs(bj["y"].astype(int) - br["y"].astype(int))
     assert diff.mean() < 1.0  # same decoded planes modulo rounding
+
+
+def test_split_ids_sharding(tmp_path, rng):
+    """Stride-sharded train ids partition exactly; val identical per host."""
+    p = str(tmp_path / "shard.cvrec")
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    with RecordWriter(p) as w:
+        for i in range(23):
+            w.write({"id": f"s{i}"}, {"image": img})
+    ds = RecordDataset([p])
+    full_train, full_val = ds.split_ids(seed=3)
+    parts = [ds.split_ids(seed=3, shard_index=k, num_shards=4) for k in range(4)]
+    got = sorted(i for tr, _ in parts for i in tr)
+    assert got == sorted(full_train)          # exact partition, no overlap
+    for _, val in parts:
+        assert val == full_val                # same val everywhere
+    sizes = [len(tr) for tr, _ in parts]
+    assert max(sizes) - min(sizes) <= 1       # balanced
+    with pytest.raises(ValueError):
+        ds.split_ids(shard_index=4, num_shards=4)
