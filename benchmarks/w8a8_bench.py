@@ -59,9 +59,27 @@ def main(batch_size: int = 8, iters: int = 20) -> int:
             out = model.apply(variables, x, train=False)
         return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
 
+    # Static-calibrated path: elementwise quantize (fixed scales) can fuse
+    # into conv epilogues → int8-resident activations (DESIGN.md §8).
+    from cvm_tpu.infer.quantize import (
+        calibrate_activation_scales,
+        w8a8_static_inference,
+    )
+
+    scales = calibrate_activation_scales(
+        lambda x: model.apply(variables, x, train=False), xs[:2]
+    )
+    print(json.dumps({"calibrated_convs": len(scales)}), flush=True)
+
+    def fwd_w8a8_static(variables, x):
+        with w8a8_static_inference(scales):
+            out = model.apply(variables, x, train=False)
+        return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
+
     peak, kind = _device_peak_tflops()
     res = {}
-    for name, fn in (("bf16", fwd_bf16), ("w8a8", fwd_w8a8)):
+    for name, fn in (("bf16", fwd_bf16), ("w8a8", fwd_w8a8),
+                     ("w8a8_static", fwd_w8a8_static)):
         jfn = jax.jit(fn)
         dt = _time_fn(jfn, [(variables, x) for x in xs], iters=iters)
         flops = 0.0
@@ -80,9 +98,11 @@ def main(batch_size: int = 8, iters: int = 20) -> int:
         res[name] = rec
         print(json.dumps(rec), flush=True)
 
-    speedup = res["bf16"]["ms_per_batch"] / res["w8a8"]["ms_per_batch"]
-    print(json.dumps({"w8a8_speedup_vs_bf16": round(speedup, 3),
-                      "device": kind}), flush=True)
+    summary = {"device": kind}
+    for name in ("w8a8", "w8a8_static"):
+        summary[f"{name}_speedup_vs_bf16"] = round(
+            res["bf16"]["ms_per_batch"] / res[name]["ms_per_batch"], 3)
+    print(json.dumps(summary), flush=True)
     return 0
 
 

@@ -90,7 +90,15 @@ class InferencePipeline:
         is_dmds = spec.name == "dmds"
 
         base_apply = self.model.apply
-        if w8a8:
+        if isinstance(w8a8, dict):
+            # Static-calibrated W8A8: elementwise quantize with fixed scales
+            # fuses into conv epilogues → int8-resident activations.
+            from cvm_tpu.infer.quantize import w8a8_static_inference
+
+            def apply_fn(*a, **kw):
+                with w8a8_static_inference(w8a8):
+                    return base_apply(*a, **kw)
+        elif w8a8:
             from cvm_tpu.infer.quantize import w8a8_inference
 
             def apply_fn(*a, **kw):

@@ -149,6 +149,106 @@ def w8a8_inference():
         yield
 
 
+# ---------------------------------------------------------------------------
+# Static-calibrated W8A8.
+#
+# The dynamic path above computes max|x| per conv per batch — a full
+# reduction pass over every activation, which costs the HBM bandwidth the
+# int8 path is supposed to save. With CALIBRATED static scales the
+# quantize op (x/s → round → clip → int8) is purely elementwise, so XLA can
+# fuse it into the previous conv's epilogue (conv → BN/ReLU → requant in one
+# fusion) and the only buffer materialized between convs is int8 — halving
+# activation HBM traffic on the memory-bound serving path (DESIGN.md §8).
+# ---------------------------------------------------------------------------
+
+
+def _module_path(context) -> str:
+    return "/".join(str(p) for p in context.module.path)
+
+
+def calibrate_activation_scales(
+    apply_fn, inputs, percentile: float = 99.9
+) -> Dict[str, float]:
+    """Run ``apply_fn(x)`` over calibration inputs, recording per-conv input
+    ranges → {module_path: scale}. ``apply_fn`` must invoke the flax model
+    EAGERLY (e.g. lambda x: model.apply(variables, x, train=False) — NOT
+    jitted: the recorder reads concrete activation values).
+
+    Percentile-of-|x| calibration (not the max) — a handful of outlier
+    activations shouldn't cost the whole tensor its resolution.
+    """
+    records: Dict[str, list] = {}
+
+    def interceptor(next_fn, args, kwargs, context):
+        if isinstance(context.module, nn.Conv) and context.method_name == "__call__":
+            try:
+                x = np.abs(np.asarray(jax.device_get(args[0]), np.float32))
+                amax = float(np.percentile(x, percentile))
+                records.setdefault(_module_path(context), []).append(amax)
+            except Exception:
+                pass
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        for x in inputs:
+            jax.block_until_ready(apply_fn(x))
+
+    return {k: max(v) / 127.0 + 1e-12 for k, v in records.items()}
+
+
+def _int8_conv_static(mod: "nn.Conv", x, sx: float):
+    from jax import lax
+
+    kernel = mod.variables["params"]["kernel"]
+    bias = mod.variables["params"].get("bias") if mod.use_bias else None
+
+    # Purely elementwise quantize with a STATIC scale — fuses into the
+    # producer's epilogue; the materialized inter-layer buffer is int8.
+    xq = jnp.round(jnp.clip(x.astype(jnp.float32) / sx, -127, 127)).astype(jnp.int8)
+
+    kf = jnp.asarray(kernel, jnp.float32)
+    sw = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1))) / 127.0 + 1e-12
+    wq = jnp.round(jnp.clip(kf / sw, -127, 127)).astype(jnp.int8)
+
+    def _pair(v):
+        if v is None:
+            return (1, 1)
+        return v if isinstance(v, (tuple, list)) else (v, v)
+
+    y = lax.conv_general_dilated(
+        xq, wq, window_strides=_pair(mod.strides), padding=mod.padding,
+        lhs_dilation=_pair(mod.input_dilation),
+        rhs_dilation=_pair(mod.kernel_dilation),
+        feature_group_count=mod.feature_group_count,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (sx * sw)
+    if bias is not None:
+        y = y + jnp.asarray(bias, jnp.float32)
+    return y.astype(mod.dtype or jnp.float32)
+
+
+@contextlib.contextmanager
+def w8a8_static_inference(scales: Dict[str, float]):
+    """Every nn.Conv with a calibrated scale runs the static int8 path;
+    uncalibrated convs fall back to fp."""
+
+    def interceptor(next_fn, args, kwargs, context):
+        mod = context.module
+        if isinstance(mod, nn.Conv) and context.method_name == "__call__":
+            sx = scales.get(_module_path(context))
+            if sx is not None:
+                try:
+                    return _int8_conv_static(mod, args[0], sx)
+                except (KeyError, TypeError):
+                    return next_fn(*args, **kwargs)
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        yield
+
+
 def quantization_error(params: Any, qparams: Any) -> float:
     """Max relative Frobenius error across quantized tensors (sanity metric)."""
     errs = []

@@ -37,6 +37,9 @@ python -m cvm_tpu.cli.train --model centernet --data "$WORK/coco.cvrec" \
   --input_hw "[64,64]" --num_classes 3 --max_objects 8 --backbone tiny \
   --neck_features 32 --head_features 16 --batch_size 8 --top_k 20 \
   --learning_rate 0.001 --warmup_steps 20 --total_steps "$STEPS_DET"
+python -m cvm_tpu.cli.evaluate --model centernet --workdir "$WORK/det" \
+  --data "$WORK/coco.cvrec" --split val --batches 6 --pad_hw 96,96 \
+  --json_out "$WORK/det/eval.json"
 python -m cvm_tpu.cli.export --model centernet \
   --checkpoint_dir "$WORK/det/checkpoints" --out "$WORK/det_artifact" \
   --batch_size 4 --input_format yuv420
