@@ -45,9 +45,36 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
 
     pad_hw = pad_hw or (int(cfg.input_hw[0] * 1.5) // 2 * 2,
                         int(cfg.input_hw[1] * 1.5) // 2 * 2)
-    if input_format == "yuv420" and spec_name == "dmds":
-        raise ValueError("yuv420 export does not support two-frame dmds; use rgb")
-    pipe = InferencePipeline(spec, cfg, variables, input_format=input_format)
+
+    w8a8_scales = None
+    if quantize == "w8a8":
+        # Full-integer compute baked into the artifact (the reference's
+        # full-int8 TFLite analogue, SURVEY.md §3.5): calibrate per-conv
+        # activation scales on synthetic scenes, then export the program
+        # with static int8 quantization fused in.
+        if spec_name == "dmds":
+            raise ValueError("w8a8 export not supported for two-frame dmds")
+        from cvm_tpu.data.synthetic import synthetic_batch
+        from cvm_tpu.infer.quantize import calibrate_activation_scales
+        from cvm_tpu.pipeline.preprocess import preprocess_batch
+
+        model = spec.create_model(cfg)
+        rng = np.random.default_rng(0)
+        nc = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 3))
+        procs = []
+        for _ in range(3):
+            b = synthetic_batch(rng, max(batch_size, 2), pad_hw,
+                                num_classes=min(nc, 10))
+            proc, _ = preprocess_batch(None, {k: jnp.asarray(v) for k, v in b.items()
+                                              if k in ("image", "image_hw")},
+                                       cfg.input_hw, train=False)
+            procs.append(proc)
+        w8a8_scales = calibrate_activation_scales(
+            lambda x: model.apply(variables, x, train=False), procs
+        )
+
+    pipe = InferencePipeline(spec, cfg, variables, input_format=input_format,
+                             w8a8=w8a8_scales if w8a8_scales else False)
 
     hw = jnp.ones((batch_size, 2), jnp.int32)
     if input_format == "yuv420":
@@ -56,12 +83,18 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
         # weak #7): chroma upsample + color conversion live in the artifact.
         y = jnp.zeros((batch_size, *pad_hw), jnp.uint8)
         u = jnp.zeros((batch_size, pad_hw[0] // 2, pad_hw[1] // 2), jnp.uint8)
-        args = (variables, y, u, u, hw)
+        if spec_name == "dmds":
+            args = (variables, y, u, u, y, u, u, hw)
+        else:
+            args = (variables, y, u, u, hw)
     else:
         img = jnp.zeros((batch_size, *pad_hw, 3), jnp.uint8)
         args = (variables, img, hw)
         if spec_name == "dmds":
             args = (variables, img, hw, img)
+    if getattr(cfg, "with_3d", False):
+        # 3D configs take per-image [fx, fy, cx, cy] (original-image px).
+        args = args + (jnp.ones((batch_size, 4), jnp.float32),)
 
     exported = jax_export.export(pipe._predict)(*args)
     blob = exported.serialize()
@@ -83,7 +116,10 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
                 flat[key] = np.asarray(v)
 
     qstats = {}
-    if quantize == "int8":
+    if quantize == "w8a8":
+        qstats["calibrated_convs"] = len(w8a8_scales or {})
+        _flatten("params", jax.device_get(trainer.eval_params))
+    elif quantize == "int8":
         # Weight-only int8 (per-channel): 4x smaller artifact, dequantized to
         # the MXU compute dtype at load (the reference's int8-export analogue;
         # SURVEY.md §3.5).
@@ -122,7 +158,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint_dir", required=True)
     parser.add_argument("--out", required=True)
     parser.add_argument("--batch_size", type=int, default=1)
-    parser.add_argument("--quantize", choices=["none", "int8"], default="none")
+    parser.add_argument("--quantize", choices=["none", "int8", "w8a8"], default="none",
+                        help="int8 = weight-only (4x smaller artifact); w8a8 = "
+                             "full-integer compute baked into the program "
+                             "(calibrated static activation scales)")
     parser.add_argument("--input_format", choices=["rgb", "yuv420"], default="rgb",
                         help="yuv420 exports the bandwidth-optimal serving path")
     args = parser.parse_args(argv)

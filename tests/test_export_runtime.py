@@ -127,3 +127,73 @@ def test_export_yuv420_serving_roundtrip(tmp_path, rng):
     # 4:2:0 chroma subsampling perturbs colors slightly; argmax must agree
     # on nearly every pixel.
     assert (cm_rgb == cm_yuv).mean() > 0.85
+
+
+def test_export_w8a8_full_integer_artifact(tmp_path, rng):
+    """--quantize w8a8 bakes calibrated int8 compute into the StableHLO
+    program; the served outputs stay close to the fp artifact's."""
+    from cvm_tpu.cli.export import export_model
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.infer.runtime import ServingModel
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16, class_weights=(1.0, 1.0, 1.0),
+                        batch_size=8, warmup_steps=1, total_steps=10)
+    ckdir = str(tmp_path / "ck")
+    tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=1, log_every=1)
+    tr.init_state()
+    import itertools
+
+    pool = [synthetic_batch(np.random.default_rng(0), 8, (48, 48), num_classes=3)]
+    tr.fit(itertools.cycle(pool), 1)
+    tr.ckpt.wait()
+
+    out_fp = str(tmp_path / "art_fp")
+    export_model("semseg", ckdir, out_fp, batch_size=1)
+    out_w = str(tmp_path / "art_w8a8")
+    wstats = export_model("semseg", ckdir, out_w, batch_size=1, quantize="w8a8")
+    assert wstats["calibrated_convs"] > 5
+
+    img = np.random.default_rng(1).integers(0, 255, (1, 48, 48, 3), dtype=np.uint8)
+    hw = np.asarray([[40, 44]], np.int32)
+    cm_fp = np.asarray(ServingModel(out_fp)(img, hw)["class_map"])
+    cm_w = np.asarray(ServingModel(out_w)(img, hw)["class_map"])
+    assert (cm_fp == cm_w).mean() > 0.9
+
+
+def test_export_dmds_yuv420(tmp_path, rng):
+    """Two-frame dmds exports on the yuv420 wire format (7 data args)."""
+    from cvm_tpu.cli.export import export_model
+    from cvm_tpu.infer.runtime import ServingModel
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model("dmds")
+    p = spec.params_cls(input_hw=(32, 32), backbone="tiny", decoder_features=16,
+                        motion_features=32, batch_size=8, warmup_steps=1,
+                        total_steps=10)
+    ckdir = str(tmp_path / "ck")
+    tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=1, log_every=1)
+    tr.init_state()
+    from cvm_tpu.data.synthetic import synthetic_batch
+    import itertools, jax
+
+    pool = [synthetic_batch(np.random.default_rng(0), 8, (48, 48), num_classes=3,
+                            two_frame=True)]
+    tr.fit(itertools.cycle(pool), 1)
+    tr.ckpt.wait()
+
+    out = str(tmp_path / "art_dmds_yuv")
+    stats = export_model("dmds", ckdir, out, batch_size=1, input_format="yuv420",
+                         pad_hw=(48, 48))
+    assert stats["stablehlo_bytes"] > 1000
+
+    b = synthetic_batch(np.random.default_rng(2), 1, (48, 48), num_classes=3,
+                        two_frame=True, yuv420=True)
+    m = ServingModel(out)
+    res = m(b["y"], b["u"], b["v"], b["y_t1"], b["u_t1"], b["v_t1"], b["image_hw"])
+    assert np.asarray(res["depth"]).shape == (1, 32, 32, 1)
+    assert np.isfinite(np.asarray(res["depth"])).all()
