@@ -26,6 +26,10 @@ def main(argv=None):
     parser.add_argument("--max_batches", type=int, default=None)
     parser.add_argument("--score_threshold", type=float, default=0.3)
     parser.add_argument("--visualize", default=None, help="output dir for rendered PNGs")
+    parser.add_argument("--w8a8", action="store_true",
+                        help="run convs on the int8 path with calibrated "
+                             "static activation scales (calibrates on the "
+                             "first batch)")
     args = parser.parse_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
@@ -54,6 +58,11 @@ def main(argv=None):
             for s in range(0, len(files), args.batch_size):
                 chunk = files[s : s + args.batch_size]
                 jpegs = [read_image_as_jpeg(f)[0] for f in chunk]
+                # Pad the final chunk to a full batch (static shapes; the
+                # batch axis must divide the device mesh) — handle() only
+                # reports the first len(chunk) results.
+                while len(jpegs) < args.batch_size:
+                    jpegs.append(jpegs[-1])
                 img, hw = decode_jpeg_batch(jpegs, *pad_hw)
                 yield chunk, {"image": img, "image_hw": hw}
         elif args.records:
@@ -71,7 +80,27 @@ def main(argv=None):
     names, first = next(gen)
     trainer.init_state(first)
     variables = {"params": trainer.eval_params, "batch_stats": trainer.state.batch_stats}
-    pipe = InferencePipeline(spec, cfg, variables, mesh=trainer.mesh)
+    w8a8 = False
+    if args.w8a8:
+        # Calibrate per-conv activation scales on the first batch (eager),
+        # then serve through the static int8 path.
+        import jax.numpy as jnp
+
+        from cvm_tpu.infer.quantize import calibrate_activation_scales
+        from cvm_tpu.models.registry import build_model
+        from cvm_tpu.pipeline.preprocess import preprocess_batch
+
+        model = build_model(spec, cfg, mesh=trainer.mesh)
+        proc, _ = preprocess_batch(
+            None, {k: jnp.asarray(v) for k, v in first.items()
+                   if k in ("image", "y", "u", "v", "image_hw")},
+            cfg.input_hw, train=False,
+        )
+        w8a8 = calibrate_activation_scales(
+            lambda x: model.apply(variables, x, train=False), [proc]
+        )
+        print(json.dumps({"w8a8_calibrated_convs": len(w8a8)}), flush=True)
+    pipe = InferencePipeline(spec, cfg, variables, mesh=trainer.mesh, w8a8=w8a8)
 
     if args.visualize:
         os.makedirs(args.visualize, exist_ok=True)
