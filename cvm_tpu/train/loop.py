@@ -270,24 +270,53 @@ class Trainer:
         self.key, base = jax.random.split(self.key)
         step = int(self.state.step)  # one sync at entry (resume-aware)
         inflight: deque = deque()  # bound dispatch run-ahead (device memory)
-        batches = prefetch_to_device(islice(data_iter, num_steps), self._batch_sh)
-        for raw in batches:
-            self.state, metrics = self.train_step(self.state, raw, base)
-            step += 1
-            steps_in_window += 1
-            inflight.append(metrics["loss"])
-            if len(inflight) > 8:
-                inflight.popleft().block_until_ready()
-            if step % self.log_every == 0 or step == 1:
-                last = {k: float(v) for k, v in metrics.items()}
-                dt = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                last["steps_per_sec"] = steps_in_window / max(dt, 1e-9)
-                steps_in_window = 0
-                if self.metrics_writer is not None:
-                    self.metrics_writer.write(step, last)
-            if self.ckpt is not None and step % self.checkpoint_every == 0:
-                self.ckpt.save(step, self.state)
+
+        # Stall watchdog: a remote backend has been observed to hang an RPC
+        # indefinitely (device healthy on restart). We can't interrupt a
+        # blocked wait, but we CAN tell the operator loudly instead of
+        # looking like slow training.
+        import threading
+
+        heartbeat = [time.monotonic()]
+        done = threading.Event()
+
+        def _watch():
+            while not done.wait(30.0):
+                quiet = time.monotonic() - heartbeat[0]
+                if quiet > 120.0:
+                    import sys
+
+                    print(
+                        f"[cvm_tpu] WARNING: no training step completed in "
+                        f"{quiet:.0f}s — the device/backend may be stalled "
+                        "(kill and resume from the last checkpoint if this "
+                        "persists)", file=sys.stderr, flush=True,
+                    )
+
+        threading.Thread(target=_watch, daemon=True).start()
+        try:
+            batches = prefetch_to_device(islice(data_iter, num_steps), self._batch_sh)
+            for raw in batches:
+                self.state, metrics = self.train_step(self.state, raw, base)
+                step += 1
+                steps_in_window += 1
+                inflight.append(metrics["loss"])
+                if len(inflight) > 8:
+                    inflight.popleft().block_until_ready()
+                    heartbeat[0] = time.monotonic()
+                if step % self.log_every == 0 or step == 1:
+                    last = {k: float(v) for k, v in metrics.items()}
+                    heartbeat[0] = time.monotonic()
+                    dt = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    last["steps_per_sec"] = steps_in_window / max(dt, 1e-9)
+                    steps_in_window = 0
+                    if self.metrics_writer is not None:
+                        self.metrics_writer.write(step, last)
+                if self.ckpt is not None and step % self.checkpoint_every == 0:
+                    self.ckpt.save(step, self.state)
+        finally:
+            done.set()
         if self.ckpt is not None:
             self.ckpt.wait()
         return last
