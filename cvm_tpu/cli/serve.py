@@ -1,0 +1,122 @@
+"""Run an EXPORTED artifact over images or records:
+``python -m cvm_tpu.cli.serve --artifact art/ --records data.cvrec``.
+
+Deployment-side counterpart of cli.infer (which drives a checkpoint through
+the model-zoo code): this loads the self-contained StableHLO artifact via
+``infer.runtime.ServingModel`` — no model code — and streams batches through
+it, printing JSONL results plus a throughput summary. The reference's
+"run the converted TFLite on device" step (SURVEY.md §3.5), TPU-native.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--artifact", required=True, help="export_model output dir")
+    parser.add_argument("--images", default=None, help="glob of image files")
+    parser.add_argument("--records", default=None, help=".cvrec glob")
+    parser.add_argument("--max_batches", type=int, default=None)
+    parser.add_argument("--score_threshold", type=float, default=0.3)
+    args = parser.parse_args(argv)
+
+    from cvm_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    from cvm_tpu.infer.runtime import ServingModel
+
+    model = ServingModel(args.artifact)
+    fmt = model.input_format
+    B = int(model.meta.get("batch_size", 1))
+    pad_hw = tuple(model.meta.get("pad_hw", (0, 0)))
+    spec_name = model.meta.get("model", "?")
+
+    def batches():
+        if args.images:
+            from cvm_tpu.data.adapters.common import read_image_as_jpeg
+            from cvm_tpu.native import decode_jpeg_batch, decode_jpeg_batch_yuv420
+
+            files = sorted(glob.glob(args.images))
+            for s in range(0, len(files), B):
+                chunk = files[s : s + B]
+                jpegs = [read_image_as_jpeg(f)[0] for f in chunk]
+                while len(jpegs) < B:
+                    jpegs.append(jpegs[-1])
+                if fmt == "yuv420":
+                    y, u, v, hw = decode_jpeg_batch_yuv420(jpegs, *pad_hw)
+                    yield chunk, (y, u, v, hw)
+                else:
+                    img, hw = decode_jpeg_batch(jpegs, *pad_hw)
+                    yield chunk, (img, hw)
+        elif args.records:
+            from cvm_tpu.data.loader import RecordLoader
+            from cvm_tpu.data.records import RecordDataset
+
+            ds = RecordDataset([args.records])
+            loader = RecordLoader(ds, B, pad_hw, shuffle=False, loop=False,
+                                  output_format=fmt)
+            for i, b in enumerate(iter(loader)):
+                names = [f"rec{i * B + j}" for j in range(B)]
+                if fmt == "yuv420":
+                    data = (b["y"], b["u"], b["v"])
+                    if "y_t1" in b:  # two-frame dmds artifact
+                        data += (b["y_t1"], b["u_t1"], b["v_t1"])
+                    data += (b["image_hw"],)
+                else:
+                    data = (b["image"], b["image_hw"])
+                    if "image_t1" in b:
+                        data += (b["image_t1"],)
+                yield names, data
+        else:
+            parser.error("need --images or --records")
+
+    n_batches = 0
+    n_images = 0
+    t_total = 0.0
+    for names, data in batches():
+        if args.max_batches is not None and n_batches >= args.max_batches:
+            break
+        t0 = time.perf_counter()
+        out = model(*data)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        dt = time.perf_counter() - t0
+        t_total += dt
+        n_batches += 1
+        for i, name in enumerate(names):
+            rec = {"input": os.path.basename(str(name))}
+            if "boxes" in out:
+                keep = out["scores"][i] >= args.score_threshold
+                rec["boxes"] = out["boxes"][i][keep].tolist()
+                rec["scores"] = out["scores"][i][keep].tolist()
+                rec["classes"] = out["classes"][i][keep].tolist()
+            if "class_map" in out:
+                rec["class_histogram"] = np.bincount(
+                    out["class_map"][i].reshape(-1), minlength=1
+                ).tolist()
+            if "depth" in out:
+                rec["depth_mean"] = float(out["depth"][i].mean())
+            print(json.dumps(rec), flush=True)
+            n_images += 1
+    if n_batches:
+        # First batch includes compile; report steady-state when possible.
+        summary = {
+            "model": spec_name, "input_format": fmt, "batches": n_batches,
+            "images": n_images,
+            "ms_per_batch_avg": round(t_total / n_batches * 1e3, 2),
+        }
+        print(json.dumps(summary), file=sys.stderr, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

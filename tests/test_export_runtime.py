@@ -197,3 +197,46 @@ def test_export_dmds_yuv420(tmp_path, rng):
     res = m(b["y"], b["u"], b["v"], b["y_t1"], b["u_t1"], b["v_t1"], b["image_hw"])
     assert np.asarray(res["depth"]).shape == (1, 32, 32, 1)
     assert np.isfinite(np.asarray(res["depth"])).all()
+
+
+def test_cli_serve_artifact_over_records(tmp_path, rng, capsys):
+    """cli.serve streams a .cvrec through an exported artifact (no zoo code)."""
+    import io
+    import itertools
+    import json as _json
+
+    from PIL import Image
+
+    from cvm_tpu.cli.export import export_model
+    from cvm_tpu.cli.serve import main as serve_main
+    from cvm_tpu.data.records import RecordWriter
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16, class_weights=(1.0, 1.0, 1.0),
+                        batch_size=8, warmup_steps=1, total_steps=10)
+    ckdir = str(tmp_path / "ck")
+    tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=1, log_every=1)
+    tr.init_state()
+    pool = [synthetic_batch(np.random.default_rng(0), 8, (48, 48), num_classes=3)]
+    tr.fit(itertools.cycle(pool), 1)
+    tr.ckpt.wait()
+    art = str(tmp_path / "art")
+    export_model("semseg", ckdir, art, batch_size=2, pad_hw=(48, 48))
+
+    rec = str(tmp_path / "serve.cvrec")
+    with RecordWriter(rec) as w:
+        for i in range(4):
+            img = rng.integers(0, 255, (40, 44, 3), dtype=np.uint8)
+            b = io.BytesIO()
+            Image.fromarray(img).save(b, format="JPEG", quality=90)
+            w.write({"id": f"s{i}"}, {"jpeg": b.getvalue()})
+
+    serve_main(["--artifact", art, "--records", rec])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    recs = [_json.loads(l) for l in lines]
+    assert len(recs) == 4
+    assert all("class_histogram" in r for r in recs)
