@@ -26,11 +26,14 @@ import numpy as np
 def make_params(name):
     from cvm_tpu.models import get_model
 
-    spec = get_model(name)
+    spec = get_model("centernet" if name == "centernet3d" else name)
     common = dict(input_hw=(128, 128), backbone="tiny", batch_size=32,
                   learning_rate=1e-3, warmup_steps=100, total_steps=2000)
     per = {
         "centernet": dict(num_classes=3, max_objects=8, neck_features=32, head_features=16),
+        "centernet3d": dict(num_classes=3, max_objects=8, neck_features=32,
+                            head_features=16, with_3d=True,
+                            aug_scale_range=(0.9, 1.1)),
         "semseg": dict(num_classes=3, decoder_features=16, class_weights=(1.0, 1.0, 1.0)),
         "depth": dict(decoder_features=16, num_scales=2),
         "multitask": dict(neck_features=32, head_features=16, num_det_classes=3,
@@ -46,7 +49,8 @@ def make_params(name):
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", default="centernet",
-                        choices=["centernet", "semseg", "depth", "multitask", "dmds"])
+                        choices=["centernet", "centernet3d", "semseg", "depth",
+                                 "multitask", "dmds"])
     parser.add_argument("--steps", type=int, default=2000)
     parser.add_argument("--pool", type=int, default=40, help="distinct train batches cycled")
     parser.add_argument("--metrics", default=None)
@@ -66,11 +70,12 @@ def main(argv=None):
 
     spec, p = make_params(args.model)
     two_frame = args.model == "dmds"
+    with_3d = args.model == "centernet3d"
     trainer = Trainer(spec, p, metrics_path=args.metrics, log_every=100)
     rng = np.random.default_rng(0)
     pool = [
         synthetic_batch(rng, p.batch_size, (192, 192), num_classes=3, max_objects=8,
-                        two_frame=two_frame)
+                        two_frame=two_frame, with_3d=with_3d)
         for _ in range(args.pool)
     ]
     trainer.init_state()
@@ -79,10 +84,10 @@ def main(argv=None):
     print(f"{args.model}: {args.steps} steps in {time.time() - t0:.0f}s, "
           f"final {dict((k, round(v, 4)) for k, v in m.items())}", flush=True)
 
-    variables = {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats}
+    variables = {"params": trainer.eval_params, "batch_stats": trainer.state.batch_stats}
     val = [
         synthetic_batch(np.random.default_rng(123), 16, (192, 192), num_classes=3,
-                        max_objects=8, two_frame=two_frame)
+                        max_objects=8, two_frame=two_frame, with_3d=with_3d)
         for _ in range(8)
     ]
     ev = evaluate_model(spec, p, variables, val)
