@@ -33,6 +33,17 @@ def main(batch_size: int = 8, iters: int = 20) -> int:
     except Exception:
         pass
 
+    # Never benchmark a degraded relay (CLAUDE.md): probe + bounded wait.
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    _bench = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_bench)
+    probe_ms = _bench._tunnel_health_probe()
+    print(json.dumps({"tunnel_probe_ms": round(probe_ms, 2)}), flush=True)
+
     from cvm_tpu.cli.benchmark import _compiled_flops, _device_peak_tflops
     from cvm_tpu.infer.quantize import w8a8_inference
     from cvm_tpu.models import get_model

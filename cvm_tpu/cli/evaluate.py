@@ -42,21 +42,33 @@ def main(argv=None):
     # applied on top for eval-only knobs.
     ckpt_dir = f"{args.workdir}/checkpoints"
     try:
-        cfg = load_params_cfg(ckpt_dir, spec.params_cls)
+        cfg_saved = load_params_cfg(ckpt_dir, spec.params_cls)
     except (FileNotFoundError, OSError):
-        cfg = spec.params_cls()
+        cfg_saved = spec.params_cls()
+    cfg = cfg_saved
     if overrides:
+        # Apply exactly the flags the user TYPED (a value equal to the class
+        # default must still override the saved config — e.g.
+        # ``--ema_decay 0.0`` to evaluate raw weights of an EMA checkpoint).
+        passed = {t.lstrip("-").split("=", 1)[0] for t in overrides
+                  if t.startswith("--")}
         base = cfg.to_dict()
         cli_cfg = spec.params_cls.from_cli(overrides).to_dict()
-        default = spec.params_cls().to_dict()
-        base.update({k: v for k, v in cli_cfg.items() if v != default[k]})
+        base.update({k: v for k, v in cli_cfg.items() if k in passed})
         cfg = spec.params_cls.from_dict(base)
     if args.pad_hw:
         pad_hw = tuple(int(x) for x in args.pad_hw.split(","))
     else:
         pad_hw = (int(cfg.input_hw[0] * 1.5), int(cfg.input_hw[1] * 1.5))
 
-    trainer = Trainer(spec, cfg, checkpoint_dir=ckpt_dir)
+    # The restore template's STRUCTURE must match the on-disk tree, so
+    # state-shaping fields always come from the SAVED config; the override
+    # (e.g. --ema_decay 0.0) only selects which weights are evaluated below.
+    state_fields = {}
+    for f in ("ema_decay", "grad_accum_steps", "tensor_parallel"):
+        if hasattr(cfg_saved, f):
+            state_fields[f] = getattr(cfg_saved, f)
+    trainer = Trainer(spec, cfg.replace(**state_fields), checkpoint_dir=ckpt_dir)
     trainer.init_state()
     step = int(trainer.state.step)
     if step == 0:
@@ -86,7 +98,12 @@ def main(argv=None):
         val = RecordLoader(ds, cfg.batch_size, pad_hw, ids=ids, shuffle=False,
                            loop=False, max_objects=getattr(cfg, "max_objects", 128))
 
-    variables = {"params": trainer.eval_params,
+    import jax
+
+    use_ema = (getattr(cfg, "ema_decay", 0.0) > 0.0
+               and jax.tree.leaves(trainer.state.ema_params))
+    eval_params = trainer.state.ema_params if use_ema else trainer.state.params
+    variables = {"params": eval_params,
                  "batch_stats": trainer.state.batch_stats}
     m = evaluate_model(spec, cfg, variables, val, max_batches=args.batches,
                        mesh=trainer.mesh)

@@ -81,6 +81,8 @@ def main(argv=None):
     trainer.init_state(first)
     variables = {"params": trainer.eval_params, "batch_stats": trainer.state.batch_stats}
     w8a8 = False
+    if args.w8a8 and args.model == "dmds":
+        parser.error("--w8a8 is not supported for two-frame dmds")
     if args.w8a8:
         # Calibrate per-conv activation scales on the first batch (eager),
         # then serve through the static int8 path.

@@ -40,6 +40,23 @@ def main(argv=None):
     B = int(model.meta.get("batch_size", 1))
     pad_hw = tuple(model.meta.get("pad_hw", (0, 0)))
     spec_name = model.meta.get("model", "?")
+    # with_3d artifacts take a trailing intrinsics (B, 4) argument; the
+    # exported config records the flag.
+    with_3d = False
+    cfg_path = os.path.join(args.artifact, "params.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            with_3d = bool(json.load(f).get("with_3d", False))
+
+    def pad_batch(arrs, n):
+        """Pad each array's batch dim from n to B by repeating the last row
+        (static shapes: the batch axis must divide the device mesh)."""
+        if n == B:
+            return arrs
+        return tuple(
+            np.concatenate([a, np.repeat(a[-1:], B - n, axis=0)], axis=0)
+            for a in arrs
+        )
 
     def batches():
         if args.images:
@@ -53,20 +70,27 @@ def main(argv=None):
                 while len(jpegs) < B:
                     jpegs.append(jpegs[-1])
                 if fmt == "yuv420":
-                    y, u, v, hw = decode_jpeg_batch_yuv420(jpegs, *pad_hw)
-                    yield chunk, (y, u, v, hw)
+                    data = decode_jpeg_batch_yuv420(jpegs, *pad_hw)
                 else:
-                    img, hw = decode_jpeg_batch(jpegs, *pad_hw)
-                    yield chunk, (img, hw)
+                    data = decode_jpeg_batch(jpegs, *pad_hw)
+                if with_3d:
+                    # No camera metadata in bare image files: identity-ish
+                    # placeholder (3D geometry is meaningless without K).
+                    data = data + (np.tile(
+                        np.asarray([[1.0, 1.0, 0.0, 0.0]], np.float32), (B, 1)),)
+                yield chunk, data
         elif args.records:
             from cvm_tpu.data.loader import RecordLoader
             from cvm_tpu.data.records import RecordDataset
 
             ds = RecordDataset([args.records])
             loader = RecordLoader(ds, B, pad_hw, shuffle=False, loop=False,
-                                  output_format=fmt)
-            for i, b in enumerate(iter(loader)):
-                names = [f"rec{i * B + j}" for j in range(B)]
+                                  output_format=fmt, drop_remainder=False)
+            seen = 0
+            for b in iter(loader):
+                n = b["image_hw"].shape[0]
+                names = [f"rec{seen + j}" for j in range(n)]
+                seen += n
                 if fmt == "yuv420":
                     data = (b["y"], b["u"], b["v"])
                     if "y_t1" in b:  # two-frame dmds artifact
@@ -76,7 +100,13 @@ def main(argv=None):
                     data = (b["image"], b["image_hw"])
                     if "image_t1" in b:
                         data += (b["image_t1"],)
-                yield names, data
+                if with_3d:
+                    intr = b.get("intrinsics")
+                    if intr is None:
+                        intr = np.tile(
+                            np.asarray([[1.0, 1.0, 0.0, 0.0]], np.float32), (n, 1))
+                    data = data + (np.asarray(intr, np.float32),)
+                yield names, pad_batch(tuple(np.asarray(a) for a in data), n)
         else:
             parser.error("need --images or --records")
 

@@ -90,6 +90,11 @@ class InferencePipeline:
         is_dmds = spec.name == "dmds"
 
         base_apply = self.model.apply
+        if isinstance(w8a8, dict) and not w8a8:
+            raise ValueError(
+                "w8a8 scales dict is empty — calibration produced no "
+                "per-conv scales; refusing to silently serve fp as 'int8'"
+            )
         if isinstance(w8a8, dict):
             # Static-calibrated W8A8: elementwise quantize with fixed scales
             # fuses into conv epilogues → int8-resident activations.

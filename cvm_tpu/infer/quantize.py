@@ -193,6 +193,11 @@ def calibrate_activation_scales(
         for x in inputs:
             jax.block_until_ready(apply_fn(x))
 
+    if not records:
+        raise RuntimeError(
+            "calibration recorded no conv activations — apply_fn must run "
+            "the flax model eagerly (un-jitted) over concrete inputs"
+        )
     return {k: max(v) / 127.0 + 1e-12 for k, v in records.items()}
 
 

@@ -79,8 +79,17 @@ def make_train_step(model, spec_loss: Callable, params_cfg, tx, processor) -> Ca
         metrics["grad_norm"] = optax.global_norm(grads)
         ema_decay = getattr(params_cfg, "ema_decay", 0.0)
         if ema_decay > 0.0:
+            # With gradient accumulation, params only move when MultiSteps
+            # applies (mini_step wraps to 0); updating the shadow on the
+            # frozen micro-steps would silently weaken the effective decay
+            # to decay^k per optimizer update.
+            applied = jnp.asarray(True)
+            if getattr(params_cfg, "grad_accum_steps", 1) > 1:
+                applied = new_opt.mini_step == 0
             new_ema = jax.tree.map(
-                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                lambda e, p: jnp.where(
+                    applied, ema_decay * e + (1.0 - ema_decay) * p, e
+                ),
                 state.ema_params,
                 new_params,
             )
@@ -277,20 +286,26 @@ class Trainer:
         # looking like slow training.
         import threading
 
-        heartbeat = [time.monotonic()]
+        # heartbeat[1] flips True after the FIRST completed step: before
+        # that, long quiet periods are normal (cold-cache XLA compiles take
+        # minutes over a remote backend) and must not trigger kill advice.
+        heartbeat = [time.monotonic(), False]
         done = threading.Event()
 
         def _watch():
             while not done.wait(30.0):
                 quiet = time.monotonic() - heartbeat[0]
-                if quiet > 120.0:
+                threshold = 120.0 if heartbeat[1] else 1800.0
+                if quiet > threshold:
                     import sys
 
+                    stage = ("no training step completed" if heartbeat[1]
+                             else "first step still not finished (compile?)")
                     print(
-                        f"[cvm_tpu] WARNING: no training step completed in "
-                        f"{quiet:.0f}s — the device/backend may be stalled "
-                        "(kill and resume from the last checkpoint if this "
-                        "persists)", file=sys.stderr, flush=True,
+                        f"[cvm_tpu] WARNING: {stage} in {quiet:.0f}s — the "
+                        "device/backend may be stalled (kill and resume from "
+                        "the last checkpoint if this persists)",
+                        file=sys.stderr, flush=True,
                     )
 
         threading.Thread(target=_watch, daemon=True).start()
@@ -304,9 +319,11 @@ class Trainer:
                 if len(inflight) > 8:
                     inflight.popleft().block_until_ready()
                     heartbeat[0] = time.monotonic()
+                    heartbeat[1] = True
                 if step % self.log_every == 0 or step == 1:
                     last = {k: float(v) for k, v in metrics.items()}
                     heartbeat[0] = time.monotonic()
+                    heartbeat[1] = True
                     dt = time.perf_counter() - t0
                     t0 = time.perf_counter()
                     last["steps_per_sec"] = steps_in_window / max(dt, 1e-9)

@@ -156,3 +156,26 @@ def test_lr_schedules():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         make_schedule("nope", lr, total, warm)
+
+
+def test_ema_frozen_during_accum_microsteps():
+    """With grad_accum_steps=2 the EMA shadow must not move on the frozen
+    micro-step (otherwise effective decay becomes decay^k per update)."""
+    p = _tiny_params(ema_decay=0.9, grad_accum_steps=2)
+    tr = Trainer(get_model("semseg"), p, log_every=1)
+    it = synthetic_iterator(0, 8, (48, 48), num_classes=3)
+    tr.init_state(next(it))
+    ema0 = jax.device_get(tr.state.ema_params)
+    key = jax.random.PRNGKey(0)
+    s = tr.state
+    # Apply 1 happens at micro-step 2 but with warmup LR=0 (params frozen);
+    # apply 2 at micro-step 4 moves params. The shadow must stay EXACTLY
+    # ema0 through micro-steps 1-3 (frozen micro-steps + zero-LR apply) and
+    # move only after the real apply.
+    for i in range(3):
+        s, _ = tr.train_step(s, jax.tree.map(
+            lambda x: jax.device_put(x, tr._batch_sh), next(it)), key)
+        assert _leaves_close(jax.device_get(s.ema_params), ema0), f"moved at {i}"
+    s, _ = tr.train_step(s, jax.tree.map(
+        lambda x: jax.device_put(x, tr._batch_sh), next(it)), key)
+    assert not _leaves_close(jax.device_get(s.ema_params), ema0)
