@@ -53,6 +53,23 @@ def repack_yuv(src: str, out: str, target_hw=(0, 0), max_hw=(4096, 4096),
             blobs["v"] = np.ascontiguousarray(V[0, : dh // 2, : dw // 2])
             bytes_in += len(jpeg)
             bytes_out += blobs["y"].nbytes + blobs["u"].nbytes + blobs["v"].nbytes
+            jpeg1 = blobs.pop("jpeg_t1", None)
+            if jpeg1 is not None:
+                # Two-frame records: pre-decode frame t+1 as well so DMDS
+                # serving assembly stays a pure blit.
+                Y1, U1, V1, hw1 = decode_jpeg_batch_yuv420(
+                    [jpeg1], mh, mw, num_threads, target_hw=tuple(target_hw)
+                )
+                eh, ew = int(hw1[0, 0]), int(hw1[0, 1])
+                eh -= eh % 2
+                ew -= ew % 2
+                if (eh, ew) != (0, 0) and (int(hw1[0, 0]), int(hw1[0, 1])) != (1, 1):
+                    blobs["y_t1"] = np.ascontiguousarray(Y1[0, :eh, :ew])
+                    blobs["u_t1"] = np.ascontiguousarray(U1[0, : eh // 2, : ew // 2])
+                    blobs["v_t1"] = np.ascontiguousarray(V1[0, : eh // 2, : ew // 2])
+                    bytes_in += len(jpeg1)
+                    bytes_out += (blobs["y_t1"].nbytes + blobs["u_t1"].nbytes
+                                  + blobs["v_t1"].nbytes)
             w.write(meta, blobs)
             n += 1
     src_meta = src + ".meta.json"

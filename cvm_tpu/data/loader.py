@@ -242,13 +242,21 @@ class RecordLoader:
             batch.update(
                 _assemble_labels(metas, blobs, self.pad_hw, self.max_objects, decoded_hw=hw)
             )
-            if any("jpeg_t1" in b or "image_t1" in b for b in blobs):
+            if any(k in b for b in blobs for k in ("jpeg_t1", "image_t1", "y_t1")):
                 # Two-frame records (DMDS): second frame as its own plane set,
                 # same wire-format savings as frame t.
                 Y1 = np.zeros((B, Hm, Wm), np.uint8)
                 U1 = np.full((B, Hm // 2, Wm // 2), 128, np.uint8)
                 V1 = np.full((B, Hm // 2, Wm // 2), 128, np.uint8)
-                j1 = [(i, b["jpeg_t1"]) for i, b in enumerate(blobs) if "jpeg_t1" in b]
+                for i, b in enumerate(blobs):
+                    if "y_t1" in b:  # raw serving shard (cli.repack): blit
+                        yp, up, vp = b["y_t1"], b["u_t1"], b["v_t1"]
+                        h, w = yp.shape
+                        Y1[i, :h, :w] = yp
+                        U1[i, : h // 2, : w // 2] = up
+                        V1[i, : h // 2, : w // 2] = vp
+                j1 = [(i, b["jpeg_t1"]) for i, b in enumerate(blobs)
+                      if "jpeg_t1" in b and "y_t1" not in b]
                 if j1:
                     dy, du, dv, _ = decode_jpeg_batch_yuv420(
                         [j for _, j in j1], Hm, Wm, self.threads,

@@ -262,3 +262,35 @@ def test_split_ids_sharding(tmp_path, rng):
     assert max(sizes) - min(sizes) <= 1       # balanced
     with pytest.raises(ValueError):
         ds.split_ids(shard_index=4, num_shards=4)
+
+
+def test_repack_two_frame_serving_shard(tmp_path, rng):
+    """cli.repack pre-decodes BOTH frames; loader assembly is a pure blit."""
+    from cvm_tpu.cli.repack import repack_yuv
+
+    src = str(tmp_path / "two_src.cvrec")
+    img_a = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+    with RecordWriter(src) as w:
+        w.write({"id": "t0", "intrinsics": [50.0, 50.0, 30.0, 20.0]},
+                {"jpeg": _jpeg_bytes(img_a), "jpeg_t1": _jpeg_bytes(img_b)})
+    out = str(tmp_path / "two_yuv.cvrec")
+    stats = repack_yuv(src, out)
+    assert stats["written"] == 1
+
+    # Repacked shard has plane blobs for both frames.
+    ds = RecordDataset([out])
+    _, blobs = ds.get(0)
+    for k in ("y", "u", "v", "y_t1", "u_t1", "v_t1"):
+        assert k in blobs, k
+    assert "jpeg_t1" not in blobs
+
+    # Loader blits them into a two-frame yuv420 batch matching the
+    # decode-path batch from the original shard.
+    kw = dict(batch_size=1, pad_hw=(48, 64), loop=False,
+              output_format="yuv420", drop_remainder=False, shuffle=False)
+    b_blit = next(iter(RecordLoader(ds, **kw)))
+    b_dec = next(iter(RecordLoader(RecordDataset([src]), **kw)))
+    np.testing.assert_array_equal(b_blit["y_t1"], b_dec["y_t1"])
+    np.testing.assert_array_equal(b_blit["u_t1"], b_dec["u_t1"])
+    assert b_blit["y_t1"][0, :40, :60].std() > 1.0
