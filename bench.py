@@ -97,8 +97,11 @@ def _make_host_batches(pad_hw, batch_size, n_batches=12, quality=90,
                 ld._make_batch(idxs)
                 ts.append(time.perf_counter() - t0)
             t_raw_feed = float(np.median(ts))
-    except Exception:
-        pass
+    except Exception as e:
+        # Surface (not swallow) raw-shard path breakage: a missing metric
+        # must be distinguishable from a broken path.
+        print(f"bench: raw-YUV shard path NOT measured: {e!r}",
+              file=sys.stderr, flush=True)
     return batches, float(np.median(decode_times)), t_raw_feed
 
 
@@ -178,24 +181,34 @@ def measure_tpu(batch_size: int = 8, iters: int = 30, warmup: int = 3) -> dict:
     except Exception:
         peak_tflops = None
 
+    def _readback(out):
+        """One-element host fetch — the completion signal the relay cannot
+        fake (block_until_ready has been observed to ack at dispatch)."""
+        return float(np.asarray(jax.device_get(out[1][:1, :1])).ravel()[0])
+
     # Throughput, two dispatch modes, BOTH reported (VERDICT r1 weak #3 —
     # never silently take the better one):
-    # (a) pipelined: enqueue all, block once — steady-state serving rate
-    #     (the final block waits on every output, so it cannot lie).
+    # (a) pipelined: enqueue all, block once + terminal host readback of the
+    #     LAST output — execution is in dispatch order, so fetching real
+    #     bytes of the final result bounds completion of everything before.
     t0 = time.perf_counter()
     outs = []
     for i in range(iters):
         y, u, v, hw = host_batches[i % len(host_batches)]
         outs.append(jfn(variables, y, u, v, hw))
     jax.block_until_ready(outs)
+    _readback(outs[-1])
     t_pipelined = (time.perf_counter() - t0) / iters
 
-    # (b) sequential: block each batch (doubles as the latency measurement).
+    # (b) sequential: block each batch + readback (doubles as the latency
+    #     measurement; includes one host round-trip like real serving).
     lat = []
     for i in range(iters):
         y, u, v, hw = host_batches[i % len(host_batches)]
         t0 = time.perf_counter()
-        jax.block_until_ready(jfn(variables, y, u, v, hw))
+        out = jfn(variables, y, u, v, hw)
+        jax.block_until_ready(out)
+        _readback(out)
         lat.append(time.perf_counter() - t0)
     lat = np.asarray(lat)
 
@@ -215,9 +228,10 @@ def measure_tpu(batch_size: int = 8, iters: int = 30, warmup: int = 3) -> dict:
         outs = [jfn(variables, *b16_batches[i % len(b16_batches)])
                 for i in range(n16)]
         jax.block_until_ready(outs)
+        _readback(outs[-1])
         t_b16 = (time.perf_counter() - t0) / n16
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"bench: batch-16 sidecar skipped: {e}", file=sys.stderr)
 
     res = {
         "images_per_sec": float(B / t_pipelined),

@@ -57,7 +57,9 @@ def main(argv=None):
         base.update({k: v for k, v in cli_cfg.items() if k in passed})
         cfg = spec.params_cls.from_dict(base)
     if args.pad_hw:
-        pad_hw = tuple(int(x) for x in args.pad_hw.split(","))
+        from cvm_tpu.utils.config import parse_hw
+
+        pad_hw = parse_hw(args.pad_hw, "--pad_hw")
     else:
         pad_hw = (int(cfg.input_hw[0] * 1.5), int(cfg.input_hw[1] * 1.5))
 

@@ -93,7 +93,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
     target = (0, 0)
     if args.target:
-        target = tuple(int(x) for x in args.target.split(","))
+        from cvm_tpu.utils.config import parse_hw
+
+        target = parse_hw(args.target, "--target")
     stats = repack_yuv(args.src, args.out, target_hw=target,
                        num_threads=args.threads)
     print(json.dumps(stats))

@@ -52,7 +52,9 @@ def main(argv=None):
     cfg = spec.params_cls.from_cli(overrides)
 
     if args.pad_hw:
-        pad_hw = tuple(int(x) for x in args.pad_hw.split(","))
+        from cvm_tpu.utils.config import parse_hw
+
+        pad_hw = parse_hw(args.pad_hw, "--pad_hw")
     else:
         pad_hw = (int(cfg.input_hw[0] * 1.5), int(cfg.input_hw[1] * 1.5))
 
@@ -92,7 +94,9 @@ def main(argv=None):
         if args.decode_target == "auto":
             target_hw = (int(cfg.input_hw[0] * 1.3), int(cfg.input_hw[1] * 1.3))
         elif args.decode_target not in ("off", None):
-            target_hw = tuple(int(x) for x in args.decode_target.split(","))
+            from cvm_tpu.utils.config import parse_hw
+
+            target_hw = parse_hw(args.decode_target, "--decode_target")
         loader = RecordLoader(
             ds, cfg.batch_size, pad_hw, ids=train_ids,
             max_objects=getattr(cfg, "max_objects", 128), seed=args.seed,

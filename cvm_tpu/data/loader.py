@@ -289,6 +289,22 @@ class RecordLoader:
             for k, (i, _) in enumerate(to_decode):
                 images[i] = dec[k]
                 hw[i] = dec_hw[k]
+        for i, b in enumerate(blobs):
+            # Raw-YUV serving shards (cli.repack) read through the RGB
+            # format: convert the planes instead of silently yielding a
+            # blank frame.
+            if "y" in b and "u" in b and "v" in b and raws[i] is None:
+                from cvm_tpu.native import _yuv420_to_rgb_np
+
+                rgb = _yuv420_to_rgb_np(b["y"], b["u"], b["v"])
+                h, w = rgb.shape[:2]
+                if h > Hm or w > Wm:
+                    raise ValueError(
+                        f"raw yuv planes {(h, w)} exceed pad buffer {(Hm, Wm)} "
+                        f"for sample {metas[i].get('id', i)!r}"
+                    )
+                images[i, :h, :w] = rgb
+                hw[i] = (h, w)
         for i, r in enumerate(raws):
             if r is not None:  # pre-decoded uint8 HxWx3 blob
                 h, w = r.shape[:2]
@@ -306,7 +322,7 @@ class RecordLoader:
             _assemble_labels(metas, blobs, self.pad_hw, self.max_objects, decoded_hw=hw)
         )
 
-        if any("jpeg_t1" in b or "image_t1" in b for b in blobs):
+        if any(k in b for b in blobs for k in ("jpeg_t1", "image_t1", "y_t1")):
             img1 = np.zeros((B, Hm, Wm, 3), np.uint8)
             j1 = [(i, b["jpeg_t1"]) for i, b in enumerate(blobs) if "jpeg_t1" in b]
             if j1:
@@ -316,6 +332,11 @@ class RecordLoader:
             for i, b in enumerate(blobs):
                 if "image_t1" in b:
                     r = b["image_t1"]
+                    img1[i, : r.shape[0], : r.shape[1]] = r
+                elif "y_t1" in b:  # repacked two-frame serving shard
+                    from cvm_tpu.native import _yuv420_to_rgb_np
+
+                    r = _yuv420_to_rgb_np(b["y_t1"], b["u_t1"], b["v_t1"])
                     img1[i, : r.shape[0], : r.shape[1]] = r
             batch["image_t1"] = img1
         return batch

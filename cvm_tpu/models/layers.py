@@ -170,10 +170,15 @@ class Head(nn.Module):
     def __call__(self, x, train: bool = False):
         x = ConvBN(self.features, 3, dtype=self.dtype, use_bn=False,
                    spatial_mesh=self.spatial_mesh, name="c1")(x, train)
+        # The final 1x1 logits projection runs bf16 only at inference
+        # (serving HBM win); TRAINING keeps fp32 logits — a bf16 projection
+        # would round regression targets/focal logits to an 8-bit mantissa
+        # before the loss (DESIGN.md §8: "training paths keep fp32 heads").
+        out_dtype = jnp.float32 if train else self.dtype
         x = nn.Conv(
             self.out_channels,
             (1, 1),
-            dtype=self.dtype,
+            dtype=out_dtype,
             param_dtype=jnp.float32,
             bias_init=nn.initializers.constant(self.bias_init_value),
             name="out",

@@ -190,6 +190,23 @@ def _rgb_to_yuv420_np(rgb: np.ndarray):
     return yq, uq, vq
 
 
+def _yuv420_to_rgb_np(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Host fallback: planar YUV420 → full-range JFIF RGB uint8 (numpy).
+
+    Chroma upsamples nearest 2x (matches the subsampled grid of
+    _rgb_to_yuv420_np); used when raw-YUV serving shards are read through
+    the RGB loader format.
+    """
+    h, w = y.shape
+    uu = np.repeat(np.repeat(u.astype(np.float32), 2, 0), 2, 1)[:h, :w] - 128.0
+    vv = np.repeat(np.repeat(v.astype(np.float32), 2, 0), 2, 1)[:h, :w] - 128.0
+    yf = y.astype(np.float32)
+    r = yf + 1.402 * vv
+    g = yf - 0.344136 * uu - 0.714136 * vv
+    b = yf + 1.772 * uu
+    return np.clip(np.stack([r, g, b], -1) + 0.5, 0, 255).astype(np.uint8)
+
+
 def decode_jpeg_batch_yuv420(
     jpegs: Sequence[bytes],
     max_h: int,

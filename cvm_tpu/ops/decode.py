@@ -130,12 +130,20 @@ def _decode_core(heatmap, offset, size, stride, top_k, from_logits):
     # than K pixels can rank above that pixel, so gathering the full class
     # row of the top-K pixels and re-ranking those K*C candidates is exact
     # (modulo ties at the K-th score, where either equal-score set is valid).
+    # Stage 1 can rank at most Hs*Ws pixels; small-resolution configs with
+    # top_k > Hs*Ws gather every pixel (still exact, stage 2 ranks HW*C).
+    k1 = min(top_k, Hs * Ws)
     pix_best = peaks.max(axis=-1).reshape(B, Hs * Ws)          # (B, HW)
-    _, cand_pix = jax.lax.top_k(pix_best, top_k)               # (B, K)
+    _, cand_pix = jax.lax.top_k(pix_best, k1)                  # (B, K1)
     cand = jnp.take_along_axis(
         peaks.reshape(B, Hs * Ws, C), cand_pix[..., None], axis=1
-    )                                                          # (B, K, C)
-    scores, idx = jax.lax.top_k(cand.reshape(B, top_k * C), top_k)
+    )                                                          # (B, K1, C)
+    scores, idx = jax.lax.top_k(cand.reshape(B, k1 * C), min(top_k, k1 * C))
+    if top_k > k1 * C:
+        # Tiny maps can't supply top_k candidates: pad with empty dets.
+        pad = top_k - k1 * C
+        scores = jnp.pad(scores, ((0, 0), (0, pad)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
 
     cls = (idx % C).astype(jnp.int32)
     pix = jnp.take_along_axis(cand_pix, idx // C, axis=1)

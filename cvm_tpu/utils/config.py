@@ -13,6 +13,22 @@ import json
 from typing import Any, Dict, List, Optional, Sequence, Tuple, get_args, get_origin
 
 
+def parse_hw(text: str, flag: str = "size") -> Tuple[int, int]:
+    """Parse an 'H,W' CLI value with a clear error at parse time (a bad
+    value must not surface later as an IndexError deep in native decode)."""
+    parts = text.split(",")
+    if len(parts) != 2:
+        raise SystemExit(f"{flag} expects 'H,W' (two comma-separated ints), "
+                         f"got {text!r}")
+    try:
+        h, w = int(parts[0]), int(parts[1])
+    except ValueError:
+        raise SystemExit(f"{flag} expects integers 'H,W', got {text!r}")
+    if h <= 0 or w <= 0:
+        raise SystemExit(f"{flag} must be positive, got {text!r}")
+    return (h, w)
+
+
 @dataclasses.dataclass
 class BaseParams:
     name: str = "base"

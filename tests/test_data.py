@@ -294,3 +294,31 @@ def test_repack_two_frame_serving_shard(tmp_path, rng):
     np.testing.assert_array_equal(b_blit["y_t1"], b_dec["y_t1"])
     np.testing.assert_array_equal(b_blit["u_t1"], b_dec["u_t1"])
     assert b_blit["y_t1"][0, :40, :60].std() > 1.0
+
+
+def test_rgb_loader_reads_raw_yuv_shards(tmp_path, rng):
+    """output_format='rgb' (the cli.train default) must decode repacked
+    raw-YUV shards instead of silently yielding blank frames."""
+    from cvm_tpu.cli.repack import repack_yuv
+
+    src = str(tmp_path / "src.cvrec")
+    # Smooth image: 4:2:0 chroma subsampling must stay near-lossless (a
+    # noise image would lose chroma by construction).
+    base = rng.integers(0, 255, (5, 8, 3)).astype(np.uint8)
+    img = np.asarray(Image.fromarray(base).resize((60, 40), Image.BILINEAR))
+    with RecordWriter(src) as w:
+        w.write({"id": "r0", "boxes": [[1.0, 2.0, 20.0, 22.0]], "classes": [0]},
+                {"jpeg": _jpeg_bytes(img)})
+    out = str(tmp_path / "yuv.cvrec")
+    repack_yuv(src, out)
+
+    loader = RecordLoader(RecordDataset([out]), batch_size=1, pad_hw=(48, 64),
+                          loop=False, drop_remainder=False)  # rgb default
+    b = next(iter(loader))
+    assert tuple(b["image_hw"][0]) == (40, 60)
+    got = b["image"][0, :40, :60].astype(int)
+    assert got.std() > 1.0  # not a blank frame
+    # YUV 4:2:0 roundtrip keeps colors close to the decoded original.
+    ref = np.asarray(Image.open(io.BytesIO(_jpeg_bytes(img))).convert("RGB")).astype(int)
+    assert np.abs(got - ref).mean() < 8.0
+    assert (b["image"][0, 40:, :] == 0).all()

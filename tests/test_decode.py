@@ -96,3 +96,25 @@ def test_two_stage_topk_matches_naive_global_topk(rng):
     np.testing.assert_array_equal(np.asarray(det.classes),
                                   np.asarray(ref_idx % C))
     np.testing.assert_array_equal(np.asarray(pix), np.asarray(ref_idx // C))
+
+
+def test_decode_top_k_exceeds_pixels():
+    """Small maps: top_k > Hs*Ws must not crash (stage 1 caps at HW) and
+    top_k > Hs*Ws*C pads with empty detections."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvm_tpu.ops.decode import decode_centernet
+
+    B, Hs, Ws, C = 2, 8, 8, 3
+    key = jax.random.PRNGKey(0)
+    hm = jax.random.normal(key, (B, Hs, Ws, C))
+    off = jnp.zeros((B, Hs, Ws, 2))
+    sz = jnp.ones((B, Hs, Ws, 2))
+    det = decode_centernet(hm, off, sz, stride=4, top_k=100)  # 100 > 64 px
+    assert det.scores.shape == (B, 100)
+    assert bool(jnp.all(det.scores[:, :-1] >= det.scores[:, 1:]))  # sorted
+
+    det2 = decode_centernet(hm, off, sz, stride=4, top_k=300)  # > HW*C=192
+    assert det2.scores.shape == (B, 300)
+    assert bool(jnp.all(det2.scores[:, 192:] == 0.0))  # padded empties

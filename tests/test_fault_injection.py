@@ -38,10 +38,30 @@ def _run_and_kill(ckdir: str, kill_after_steps: int, timeout: float = 180.0):
     last_step = None
     seen = 0
     deadline = time.monotonic() + timeout
+
+    # Read through a drained queue so the deadline fires even when the
+    # child emits NOTHING (a blocked `for line in proc.stdout` would hang
+    # the whole test session on a stalled child).
+    import queue as _queue
+    import threading
+
+    lines: "_queue.Queue[str]" = _queue.Queue()
+    threading.Thread(
+        target=lambda: [lines.put(l) for l in proc.stdout], daemon=True
+    ).start()
+
+    def _lines_until_deadline():
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise TimeoutError("child made no progress before deadline")
+            try:
+                yield lines.get(timeout=min(remaining, 5.0))
+            except _queue.Empty:
+                continue
+
     try:
-        for line in proc.stdout:
-            if time.monotonic() > deadline:
-                raise TimeoutError("child made no progress")
+        for line in _lines_until_deadline():
             if line.startswith("RESUMED"):
                 resumed_from = int(line.split()[1])
             elif line.startswith("STEP"):
