@@ -27,7 +27,9 @@ def make_processor(params: CenternetParams, train: bool):
     """
     from cvm_tpu.utils.backend import is_tpu_backend
 
-    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, params.aug_flip_prob)
+    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, params.aug_flip_prob,
+                    noise_std=getattr(params, "aug_noise_std", 0.0),
+                    blur_prob=getattr(params, "aug_blur_prob", 0.0))
     out_hw = params.input_hw
     map_hw = params.map_hw
     use_pallas = params.use_pallas_splat and is_tpu_backend()

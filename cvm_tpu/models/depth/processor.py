@@ -17,7 +17,9 @@ from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_batch
 
 
 def make_processor(params: DepthParams, train: bool):
-    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, params.aug_flip_prob)
+    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, params.aug_flip_prob,
+                    noise_std=getattr(params, "aug_noise_std", 0.0),
+                    blur_prob=getattr(params, "aug_blur_prob", 0.0))
     out_hw = params.input_hw
 
     def process(key, batch):

@@ -17,7 +17,9 @@ from cvm_tpu.pipeline.preprocess import AugConfig, make_rois, resample_yuv420_fr
 
 
 def make_processor(params: DmdsParams, train: bool):
-    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, flip_prob=0.0)
+    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, flip_prob=0.0,
+                    noise_std=getattr(params, "aug_noise_std", 0.0),
+                    blur_prob=getattr(params, "aug_blur_prob", 0.0))
     out_hw = params.input_hw
 
     def process(key, batch):

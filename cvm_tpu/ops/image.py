@@ -293,14 +293,19 @@ def photometric_augment(
     contrast: float = 0.2,
     saturation: float = 0.2,
     hue: float = 0.05,
+    noise_std: float = 0.0,
+    blur_prob: float = 0.0,
 ) -> jnp.ndarray:
-    """Random brightness/contrast/saturation/hue on a 0..255 float image.
+    """Random brightness/contrast/saturation/hue (+ optional gaussian noise
+    and 3x3 blur) on a 0..255 float image.
 
     Device-side equivalent of the reference's imgaug/cv2 photometric chain
     (SURVEY.md §2 "Augmentation"). Hue is applied as a cheap RGB channel
     rotation blend (avoids HSV round-trip; adequate for training jitter).
+    noise_std is the MAX noise sigma as a fraction of 255 (per-image sigma
+    drawn uniformly); blur_prob applies a 3x3 binomial blur per image.
     """
-    kb, kc, ks, kh = jax.random.split(key, 4)
+    kb, kc, ks, kh, kn1, kn2, kbl = jax.random.split(key, 7)
     img = image.astype(jnp.float32)
 
     b = jax.random.uniform(kb, (), jnp.float32, -brightness, brightness) * 255.0
@@ -318,6 +323,21 @@ def photometric_augment(
     hshift = jax.random.uniform(kh, (), jnp.float32, -hue, hue)
     rotated = jnp.roll(img, 1, axis=-1)
     img = img * (1.0 - jnp.abs(hshift)) + rotated * jnp.abs(hshift)
+
+    if noise_std > 0.0:
+        sigma = jax.random.uniform(kn1, (), jnp.float32, 0.0, noise_std * 255.0)
+        img = img + sigma * jax.random.normal(kn2, img.shape, jnp.float32)
+
+    if blur_prob > 0.0:
+        # 3x3 binomial blur per channel; blended in with probability
+        # blur_prob (computed unconditionally — a where keeps control flow
+        # compiler-friendly and the kernel is tiny).
+        k1d = jnp.asarray([0.25, 0.5, 0.25], jnp.float32)
+        x = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        x = (x[:-2] * k1d[0] + x[1:-1] * k1d[1] + x[2:] * k1d[2])
+        x = (x[:, :-2] * k1d[0] + x[:, 1:-1] * k1d[1] + x[:, 2:] * k1d[2])
+        do_blur = jax.random.uniform(kbl, (), jnp.float32) < blur_prob
+        img = jnp.where(do_blur, x, img)
 
     return jnp.clip(img, 0.0, 255.0)
 

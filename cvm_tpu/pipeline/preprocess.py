@@ -34,6 +34,8 @@ class AugConfig(NamedTuple):
     contrast: float = 0.2
     saturation: float = 0.2
     hue: float = 0.05
+    noise_std: float = 0.0   # max gaussian noise sigma (fraction of 255)
+    blur_prob: float = 0.0   # probability of a 3x3 binomial blur
 
 
 def make_rois(
@@ -85,7 +87,8 @@ def preprocess_image_batch(
         pkeys = jax.random.split(key_photo, images.shape[0])
         out = jax.vmap(
             lambda k, im: photometric_augment(
-                k, im, aug.brightness, aug.contrast, aug.saturation, aug.hue
+                k, im, aug.brightness, aug.contrast, aug.saturation, aug.hue,
+                aug.noise_std, aug.blur_prob,
             )
         )(pkeys, out)
     return _materialize(normalize_pm1(out).astype(out_dtype)), rois
@@ -176,7 +179,8 @@ def preprocess_yuv420_batch(
         pkeys = jax.random.split(key_photo, y.shape[0])
         out = jax.vmap(
             lambda k, im: photometric_augment(
-                k, im, aug.brightness, aug.contrast, aug.saturation, aug.hue
+                k, im, aug.brightness, aug.contrast, aug.saturation, aug.hue,
+                aug.noise_std, aug.blur_prob,
             )
         )(pkeys, out)
     return _materialize(normalize_pm1(out).astype(out_dtype)), rois

@@ -46,6 +46,10 @@ class BaseParams:
     # LR schedule: warmup_cosine (default) | constant | step (x0.1 at
     # 60%/85% of total_steps). All keep the linear warmup.
     lr_schedule: str = "warmup_cosine"
+    # Extra photometric augmentation (device-side): max gaussian noise sigma
+    # as a fraction of 255, and 3x3-blur probability (both 0 = off).
+    aug_noise_std: float = 0.0
+    aug_blur_prob: float = 0.0
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

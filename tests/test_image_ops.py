@@ -140,3 +140,35 @@ def test_normalizations():
     np.testing.assert_allclose(np.asarray(normalize_pm1(img)), 1.0, atol=1e-6)
     out = np.asarray(normalize_imagenet(img))
     assert out.shape == (4, 4, 3) and (out > 1.5).all()
+
+
+def test_photometric_noise_and_blur(rng):
+    """Optional gaussian noise / 3x3 blur extras of the photometric chain."""
+    import jax
+
+    from cvm_tpu.ops.image import photometric_augment
+
+    img = jnp.asarray(rng.integers(0, 255, (32, 32, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    # All-off photometric with zero jitter ranges is identity-ish.
+    out0 = photometric_augment(key, img, 0.0, 0.0, 0.0, 0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(img), atol=1e-3)
+
+    # Noise only: changes pixels, bounded energy (sigma <= 0.1*255).
+    outn = photometric_augment(key, img, 0.0, 0.0, 0.0, 0.0, noise_std=0.1)
+    d = np.asarray(outn) - np.asarray(img)
+    assert np.abs(d).mean() > 0.01
+    assert d.std() < 0.12 * 255
+
+    # Blur with prob=1: equals the separable binomial kernel oracle.
+    outb = photometric_augment(key, img, 0.0, 0.0, 0.0, 0.0, blur_prob=1.0)
+    x = np.pad(np.asarray(img), ((1, 1), (1, 1), (0, 0)), mode="edge")
+    k = np.array([0.25, 0.5, 0.25])
+    ref = x[:-2] * k[0] + x[1:-1] * k[1] + x[2:] * k[2]
+    ref = ref[:, :-2] * k[0] + ref[:, 1:-1] * k[1] + ref[:, 2:] * k[2]
+    np.testing.assert_allclose(np.asarray(outb), np.clip(ref, 0, 255), atol=1e-2)
+
+    # blur_prob=0 never blurs.
+    outnb = photometric_augment(key, img, 0.0, 0.0, 0.0, 0.0, blur_prob=0.0)
+    np.testing.assert_allclose(np.asarray(outnb), np.asarray(img), atol=1e-3)
