@@ -25,6 +25,8 @@ def main(argv=None):
     parser.add_argument("--pad_hw", default=None)
     parser.add_argument("--json_out", default=None,
                         help="also write metrics as JSON to this path")
+    parser.add_argument("--per_class", action="store_true",
+                        help="report per-class AP / IoU alongside the means")
     args, overrides = parser.parse_known_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
@@ -108,7 +110,7 @@ def main(argv=None):
     variables = {"params": eval_params,
                  "batch_stats": trainer.state.batch_stats}
     m = evaluate_model(spec, cfg, variables, val, max_batches=args.batches,
-                       mesh=trainer.mesh)
+                       mesh=trainer.mesh, per_class=args.per_class)
     print(f"[cvm_tpu] eval model={args.model} step={step} split={args.split}: "
           f"{json.dumps(m, sort_keys=True)}", flush=True)
     if args.json_out:

@@ -72,7 +72,7 @@ class DetectionEvaluator:
                         tp[t] = True
                 self._dets[c].append((float(scores[i]), tp))
 
-    def compute(self) -> Dict[str, float]:
+    def compute(self, per_class: bool = False) -> Dict[str, float]:
         T = len(self.thresholds)
         ap = np.full((self.num_classes, T), np.nan)
         for c in range(self.num_classes):
@@ -105,6 +105,10 @@ class DetectionEvaluator:
         out = {"mAP": float(m.mean()), "mAP50": float(m[0])}
         i75 = self.thresholds.index(0.75) if 0.75 in self.thresholds else None
         out["mAP75"] = float(m[i75]) if i75 is not None else float("nan")
+        if per_class:
+            for c in range(self.num_classes):
+                if present[c]:
+                    out[f"ap_class_{c}"] = float(np.nanmean(ap[c]))
         return out
 
 
@@ -172,13 +176,20 @@ class SemsegEvaluator:
         l = label[valid].astype(np.int64)
         np.add.at(self.cm, (l, p), 1)
 
-    def compute(self) -> Dict[str, float]:
+    def compute(self, per_class: bool = False) -> Dict[str, float]:
         inter = np.diag(self.cm).astype(np.float64)
         union = self.cm.sum(0) + self.cm.sum(1) - inter
         present = union > 0
         iou = inter[present] / np.maximum(union[present], 1)
         acc = inter.sum() / max(self.cm.sum(), 1)
-        return {"miou": float(iou.mean()) if present.any() else 0.0, "pixel_acc": float(acc)}
+        out = {"miou": float(iou.mean()) if present.any() else 0.0,
+               "pixel_acc": float(acc)}
+        if per_class:
+            full = inter / np.maximum(union, 1)
+            for c in range(self.C):
+                if present[c]:
+                    out[f"iou_class_{c}"] = float(full[c])
+        return out
 
 
 class DepthEvaluator:
@@ -216,7 +227,8 @@ class DepthEvaluator:
 
 
 def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = None,
-                   mesh=None, input_format: str = "auto") -> Dict[str, float]:
+                   mesh=None, input_format: str = "auto",
+                   per_class: bool = False) -> Dict[str, float]:
     """Run the e2e pipeline over a loader and compute task metrics.
 
     ``input_format``: "rgb", "yuv420", or "auto" (detect from the first
@@ -297,11 +309,11 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
 
     metrics: Dict[str, float] = {}
     if det_eval is not None:
-        metrics.update(det_eval.compute())
+        metrics.update(det_eval.compute(per_class=per_class))
     if det3d_eval is not None:
         metrics.update(det3d_eval.compute())
     if seg_eval is not None:
-        metrics.update(seg_eval.compute())
+        metrics.update(seg_eval.compute(per_class=per_class))
     if dep_eval is not None:
         metrics.update(dep_eval.compute())
     return metrics

@@ -152,3 +152,23 @@ def test_evaluate_model_yuv420_wire_format():
     m = evaluate_model(spec, p, variables, batches)
     assert "mAP" in m and np.isfinite(m["mAP"])
     assert 0.0 <= m["mAP"] <= 1.0
+
+
+def test_per_class_metrics():
+    """per_class=True adds ap_class_*/iou_class_* rows."""
+    ev = DetectionEvaluator(num_classes=2)
+    gt = np.array([[0, 0, 10, 10], [20, 20, 40, 45]], np.float32)
+    gtc = np.array([0, 1])
+    ev.add_image(gt.copy(), np.array([0.9, 0.8]), gtc.copy(), gt, gtc)
+    m = ev.compute(per_class=True)
+    assert m["ap_class_0"] == pytest.approx(1.0, abs=1e-6)
+    assert m["ap_class_1"] == pytest.approx(1.0, abs=1e-6)
+
+    sev = SemsegEvaluator(num_classes=3)
+    sev.add(np.array([[0, 1], [2, 2]]), np.array([[0, 1], [1, 2]]))
+    m = sev.compute(per_class=True)
+    # class1: gt={(0,1),(1,0)}, pred={(0,1)} → inter 1, union 2
+    # class2: gt={(1,1)}, pred={(1,0),(1,1)} → inter 1, union 2
+    assert m["iou_class_0"] == pytest.approx(1.0)
+    assert m["iou_class_1"] == pytest.approx(0.5)
+    assert m["iou_class_2"] == pytest.approx(0.5)
