@@ -326,7 +326,13 @@ class RecordLoader:
             img1 = np.zeros((B, Hm, Wm, 3), np.uint8)
             j1 = [(i, b["jpeg_t1"]) for i, b in enumerate(blobs) if "jpeg_t1" in b]
             if j1:
-                dec, _ = decode_jpeg_batch([j for _, j in j1], Hm, Wm, self.threads)
+                # Same target_hw as frame t: with scale-aware decode both
+                # frames MUST land at the same DCT scale — the processor
+                # resamples t1 through frame t's image_hw/ROI.
+                dec, _ = decode_jpeg_batch(
+                    [j for _, j in j1], Hm, Wm, self.threads,
+                    target_hw=self.target_hw,
+                )
                 for k, (i, _) in enumerate(j1):
                     img1[i] = dec[k]
             for i, b in enumerate(blobs):

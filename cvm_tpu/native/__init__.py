@@ -149,6 +149,14 @@ def decode_jpeg_batch(
     if out is None:
         out = np.zeros((n, max_h, max_w, 3), np.uint8)
     else:
+        # Native code writes n*max_h*max_w*3 bytes through the raw pointer:
+        # a wrong shape/dtype/layout would be silent heap corruption.
+        if (out.shape != (n, max_h, max_w, 3) or out.dtype != np.uint8
+                or not out.flags["C_CONTIGUOUS"]):
+            raise ValueError(
+                f"out must be C-contiguous uint8 {(n, max_h, max_w, 3)}, got "
+                f"{out.dtype} {out.shape} contiguous={out.flags['C_CONTIGUOUS']}"
+            )
         out[:] = 0
     out_hw = np.ones((n, 2), np.int32)
 
@@ -177,7 +185,14 @@ def decode_jpeg_batch(
 
 
 def _rgb_to_yuv420_np(rgb: np.ndarray):
-    """Host fallback: full-range JFIF RGB → planar YUV420 (numpy)."""
+    """Host fallback: full-range JFIF RGB → planar YUV420 (numpy).
+
+    Chroma is subsampled by AVERAGING each 2x2 block — JFIF centered siting,
+    matching libjpeg's raw 4:2:0 output and the centered assumption of the
+    device upsampler (ops/image.chroma_roi). Top-left decimation would
+    co-site chroma at the block corner, a 0.25-chroma-px shift vs the
+    device's algebra.
+    """
     r = rgb[..., 0].astype(np.float32)
     g = rgb[..., 1].astype(np.float32)
     b = rgb[..., 2].astype(np.float32)
@@ -185,8 +200,12 @@ def _rgb_to_yuv420_np(rgb: np.ndarray):
     u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
     yq = np.clip(y + 0.5, 0, 255).astype(np.uint8)
-    uq = np.clip(u[::2, ::2] + 0.5, 0, 255).astype(np.uint8)
-    vq = np.clip(v[::2, ::2] + 0.5, 0, 255).astype(np.uint8)
+
+    def _down2(p):
+        return 0.25 * (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2])
+
+    uq = np.clip(_down2(u) + 0.5, 0, 255).astype(np.uint8)
+    vq = np.clip(_down2(v) + 0.5, 0, 255).astype(np.uint8)
     return yq, uq, vq
 
 
@@ -213,19 +232,37 @@ def decode_jpeg_batch_yuv420(
     max_w: int,
     num_threads: int = 4,
     target_hw: Tuple[int, int] = (0, 0),
+    out_yuv: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Decode JPEGs to planar YUV420 padded batches.
 
     Returns (Y (N, max_h, max_w), U (N, max_h/2, max_w/2), V, hw). Halves
     host→device bytes vs RGB (JPEG chroma is stored 4:2:0 anyway); the device
     preprocess fuses chroma upsampling + color conversion (ops/image.py).
-    max_h/max_w must be even.
+    max_h/max_w must be even. ``out_yuv=(Y, U, V)`` reuses caller buffers in
+    steady-state serving loops (avoids a per-batch allocation + memset on
+    the single-core host critical path).
     """
     assert max_h % 2 == 0 and max_w % 2 == 0, "pad size must be even for 4:2:0"
     n = len(jpegs)
-    Y = np.zeros((n, max_h, max_w), np.uint8)
-    U = np.full((n, max_h // 2, max_w // 2), 128, np.uint8)
-    V = np.full((n, max_h // 2, max_w // 2), 128, np.uint8)
+    if out_yuv is None:
+        Y = np.zeros((n, max_h, max_w), np.uint8)
+        U = np.full((n, max_h // 2, max_w // 2), 128, np.uint8)
+        V = np.full((n, max_h // 2, max_w // 2), 128, np.uint8)
+    else:
+        Y, U, V = out_yuv
+        shapes = ((n, max_h, max_w), (n, max_h // 2, max_w // 2),
+                  (n, max_h // 2, max_w // 2))
+        for arr, shp in zip((Y, U, V), shapes):
+            if (arr.shape != shp or arr.dtype != np.uint8
+                    or not arr.flags["C_CONTIGUOUS"]):
+                raise ValueError(
+                    f"out_yuv buffer must be C-contiguous uint8 {shp}, got "
+                    f"{arr.dtype} {arr.shape}"
+                )
+        Y[:] = 0
+        U[:] = 128
+        V[:] = 128
     out_hw = np.ones((n, 2), np.int32)
 
     lib = get_lib()

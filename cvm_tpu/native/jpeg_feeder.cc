@@ -224,12 +224,18 @@ int cvm_decode_yuv420_into(const uint8_t* jpeg, unsigned long len,
     int got = jpeg_read_scanlines(&cinfo, rgb_rows, (y0 + 1 < H) ? 2 : 1);
     for (int r = 0; r < got; ++r)
       rgb_row_to_yuv(rgb_rows[r], out_y + (size_t)(y0 + r) * y_stride, W);
-    // Chroma from the first row of each pair (cheap 2x subsample).
-    const uint8_t* src = rgb_rows[0];
+    // Chroma: average the 2x2 block (JFIF centered siting — matches the
+    // raw-4:2:0 path and the device upsampler's centered assumption; a
+    // top-left pick would co-site chroma 0.25 chroma px off).
+    const uint8_t* s0 = rgb_rows[0];
+    const uint8_t* s1 = (got > 1) ? rgb_rows[1] : rgb_rows[0];
     uint8_t* urow = out_u + (size_t)(y0 / 2) * c_stride;
     uint8_t* vrow = out_v + (size_t)(y0 / 2) * c_stride;
     for (int x = 0; x < W; x += 2) {
-      const int r = src[3 * x], g = src[3 * x + 1], b = src[3 * x + 2];
+      const int x1 = (x + 1 < W) ? x + 1 : x;
+      const int r = (s0[3 * x] + s0[3 * x1] + s1[3 * x] + s1[3 * x1] + 2) >> 2;
+      const int g = (s0[3 * x + 1] + s0[3 * x1 + 1] + s1[3 * x + 1] + s1[3 * x1 + 1] + 2) >> 2;
+      const int b = (s0[3 * x + 2] + s0[3 * x1 + 2] + s1[3 * x + 2] + s1[3 * x1 + 2] + 2) >> 2;
       int u = ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128;
       int v = ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128;
       urow[x / 2] = (uint8_t)(u < 0 ? 0 : (u > 255 ? 255 : u));
@@ -284,9 +290,12 @@ int cvm_decode_batch_yuv420(int n, const uint8_t* const* jpegs,
   if (num_threads > n) num_threads = n;
   pthread_t threads[64];
   if (num_threads > 64) num_threads = 64;
-  for (int i = 0; i < num_threads; ++i)
-    pthread_create(&threads[i], nullptr, yuv_batch_worker, &t);
-  for (int i = 0; i < num_threads; ++i) pthread_join(threads[i], nullptr);
+  int created = 0;  // join only successfully created threads (EAGAIN-safe)
+  for (int i = 0; i < num_threads; ++i) {
+    if (pthread_create(&threads[created], nullptr, yuv_batch_worker, &t) == 0) ++created;
+  }
+  if (created == 0) yuv_batch_worker(&t);  // degrade to inline execution
+  for (int i = 0; i < created; ++i) pthread_join(threads[i], nullptr);
   int failures = 0;
   for (int i = 0; i < n; ++i) failures += (rc[i] != 0);
   return failures;
@@ -331,9 +340,12 @@ int cvm_decode_batch(int n, const uint8_t* const* jpegs,
   if (num_threads > n) num_threads = n;
   pthread_t threads[64];
   if (num_threads > 64) num_threads = 64;
-  for (int i = 0; i < num_threads; ++i)
-    pthread_create(&threads[i], nullptr, batch_worker, &t);
-  for (int i = 0; i < num_threads; ++i) pthread_join(threads[i], nullptr);
+  int created = 0;  // join only successfully created threads (EAGAIN-safe)
+  for (int i = 0; i < num_threads; ++i) {
+    if (pthread_create(&threads[created], nullptr, batch_worker, &t) == 0) ++created;
+  }
+  if (created == 0) batch_worker(&t);  // degrade to inline execution
+  for (int i = 0; i < created; ++i) pthread_join(threads[i], nullptr);
   int failures = 0;
   for (int i = 0; i < n; ++i) failures += (rc[i] != 0);
   return failures;

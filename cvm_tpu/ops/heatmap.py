@@ -63,7 +63,31 @@ class CenternetTargets(NamedTuple):
     valid: jnp.ndarray    # (K,) bool
     # Optional extra dense regression maps scattered at centers (3D targets:
     # depth3d (1), dims3d (3), rot (2) — SURVEY.md §2 "CenterNet processor").
-    extras: Dict[str, jnp.ndarray] = {}
+    # None when absent (a {} default on a NamedTuple would be one shared
+    # mutable dict across every instance).
+    extras: Optional[Dict[str, jnp.ndarray]] = None
+
+
+def prepare_centers(boxes, valid, map_hw, min_overlap):
+    """Shared center/size/in-bounds/radius/sigma prep for the XLA and Pallas
+    renderers — ONE definition so a geometry fix propagates to both.
+
+    boxes (..., K, 4) output-map coords → (cx, cy, bw, bh, valid&in_bounds,
+    ix, iy, radius, sigma), all (..., K).
+    """
+    Hs, Ws = map_hw
+    cx = (boxes[..., 0] + boxes[..., 2]) * 0.5
+    cy = (boxes[..., 1] + boxes[..., 3]) * 0.5
+    bw = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0)
+    bh = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
+    in_bounds = (cx >= 0) & (cx < Ws) & (cy >= 0) & (cy < Hs) & (bw > 0) & (bh > 0)
+    valid = valid & in_bounds
+    ix = jnp.clip(jnp.floor(cx), 0, Ws - 1).astype(jnp.int32)
+    iy = jnp.clip(jnp.floor(cy), 0, Hs - 1).astype(jnp.int32)
+    radius = jnp.maximum(gaussian_radius(bh, bw, min_overlap), 0.0)
+    radius = jnp.maximum(jnp.floor(radius), 0.0)  # CenterNet uses int radius
+    sigma = (2.0 * radius + 1.0) / 6.0
+    return cx, cy, bw, bh, valid, ix, iy, radius, sigma
 
 
 def render_centernet_targets(
@@ -86,20 +110,9 @@ def render_centernet_targets(
     Hs, Ws = map_hw
     K = boxes.shape[0]
 
-    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
-    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
-    bw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0)
-    bh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 0.0)
-
-    in_bounds = (cx >= 0) & (cx < Ws) & (cy >= 0) & (cy < Hs) & (bw > 0) & (bh > 0)
-    valid = valid & in_bounds
-
-    ix = jnp.clip(jnp.floor(cx), 0, Ws - 1).astype(jnp.int32)
-    iy = jnp.clip(jnp.floor(cy), 0, Hs - 1).astype(jnp.int32)
-
-    radius = jnp.maximum(gaussian_radius(bh, bw, min_overlap), 0.0)
-    radius = jnp.maximum(jnp.floor(radius), 0.0)  # CenterNet uses int radius
-    sigma = (2.0 * radius + 1.0) / 6.0
+    cx, cy, bw, bh, valid, ix, iy, radius, sigma = prepare_centers(
+        boxes, valid, map_hw, min_overlap
+    )
 
     # (K, Hs, Ws) Gaussian lattice, fused exp on the VPU.
     ys = jnp.arange(Hs, dtype=jnp.float32)
@@ -146,7 +159,11 @@ def render_centernet_targets(
                 .set(vals.astype(jnp.float32), mode="drop")
             ).reshape(Hs, Ws, C)
 
-    return CenternetTargets(heatmap, offset, size, mask, flat, valid, extras)
+    # indices honors its documented "0 where invalid" contract — the raw
+    # clipped flat index is garbage for padding objects (undefined int cast
+    # when padded boxes are NaN).
+    safe_indices = jnp.where(valid, flat, 0)
+    return CenternetTargets(heatmap, offset, size, mask, safe_indices, valid, extras)
 
 
 def render_centernet_targets_batch(

@@ -99,17 +99,9 @@ def render_heatmap_pallas(
     boxes (B, K, 4) in output-map coords, classes (B, K), valid (B, K) bool;
     returns (B, Hs, Ws, C) float32.
     """
-    from cvm_tpu.ops.heatmap import gaussian_radius
+    from cvm_tpu.ops.heatmap import prepare_centers
 
-    Hs, Ws = map_hw
-    cx = (boxes[..., 0] + boxes[..., 2]) * 0.5
-    cy = (boxes[..., 1] + boxes[..., 3]) * 0.5
-    bw = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0)
-    bh = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
-    in_bounds = (cx >= 0) & (cx < Ws) & (cy >= 0) & (cy < Hs) & (bw > 0) & (bh > 0)
-    valid = valid & in_bounds
-    ix = jnp.clip(jnp.floor(cx), 0, Ws - 1).astype(jnp.int32)
-    iy = jnp.clip(jnp.floor(cy), 0, Hs - 1).astype(jnp.int32)
-    radius = jnp.maximum(jnp.floor(gaussian_radius(bh, bw, min_overlap)), 0.0)
-    sigma = (2.0 * radius + 1.0) / 6.0
+    _, _, _, _, valid, ix, iy, radius, sigma = prepare_centers(
+        boxes, valid, map_hw, min_overlap
+    )
     return _render_bk(iy, ix, sigma, radius, classes, valid, map_hw, num_classes, interpret)
