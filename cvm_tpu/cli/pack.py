@@ -31,7 +31,13 @@ def main(argv=None):
         stats = fn(args.src, args.depth_dir, args.out, **kwargs)
     else:
         if args.split:
-            kwargs["split" if args.dataset != "nuimages" else "version"] = args.split
+            # Each adapter names its selector differently; forwarding the
+            # wrong kwarg is a TypeError deep in the adapter.
+            split_kw = {"nuimages": "version", "nuscenes": "version",
+                        "comma10k": None}.get(args.dataset, "split")
+            if split_kw is None:
+                parser.error(f"--split is not supported for {args.dataset}")
+            kwargs[split_kw] = args.split
         stats = fn(args.src, args.out, **kwargs)
     print(json.dumps(stats))
     return 0

@@ -80,7 +80,10 @@ def pack_kitti_object(
             if max_images is not None and n >= max_images:
                 break
             jpeg, h, wd = read_image_as_jpeg(os.path.join(img_dir, f"{fid}.png"))
-            objs = _parse_label_file(os.path.join(lbl_dir, f"{fid}.txt"))
+            lbl_path = os.path.join(lbl_dir, f"{fid}.txt")
+            # The testing split ships no label_2 — pack with empty labels
+            # rather than crashing (and never publish a truncated shard).
+            objs = _parse_label_file(lbl_path) if os.path.exists(lbl_path) else []
             meta = {
                 "id": fid,
                 "height": h,
@@ -88,7 +91,10 @@ def pack_kitti_object(
                 "boxes": [o["bbox"] for o in objs],
                 "classes": [o["cls"] for o in objs],
             }
-            if with_3d and objs:
+            if with_3d:
+                # Keys present even for object-free frames: the loader emits
+                # 3D arrays on key presence, keeping the train-step pytree
+                # structure identical across batches (no retraces).
                 meta["dims3d"] = [o["dims"] for o in objs]
                 meta["loc3d"] = [o["loc"] for o in objs]
                 meta["rot_y"] = [o["rot_y"] for o in objs]

@@ -67,11 +67,14 @@ def _assemble_labels(
     boxes = np.zeros((B, max_objects, 4), np.float32)
     classes = np.zeros((B, max_objects), np.int32)
     nobj = np.zeros((B,), np.int32)
-    any_boxes = False
+    # Key-presence (not truthiness) decides emission: a batch whose frames
+    # all happen to have zero boxes must still produce boxes/classes/
+    # num_objects, or the detection processor KeyErrors (and the train-step
+    # pytree structure would flap between batches → retraces).
+    any_boxes = any("boxes" in m for m in metas)
     for i, m in enumerate(metas):
         bx = m.get("boxes")
         if bx:
-            any_boxes = True
             n = min(len(bx), max_objects)
             b = np.asarray(bx[:n], np.float32)
             if scales is not None:
@@ -126,7 +129,7 @@ def _assemble_labels(
         dims3d = np.zeros((B, max_objects, 3), np.float32)
         rot_y = np.zeros((B, max_objects), np.float32)
         for i, m in enumerate(metas):
-            if "loc3d" in m:
+            if m.get("loc3d"):  # object-free frames carry empty lists
                 n = min(len(m["loc3d"]), max_objects)
                 loc3d[i, :n] = np.asarray(m["loc3d"][:n], np.float32)
                 dims3d[i, :n] = np.asarray(m.get("dims3d", [[0, 0, 0]] * n)[:n], np.float32)

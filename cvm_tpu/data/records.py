@@ -68,6 +68,13 @@ class RecordWriter:
                 buf.write(val)
             else:
                 arr = np.ascontiguousarray(val)
+                if arr.dtype not in _DTYPE_CODES:
+                    supported = sorted(str(d) for d in _DTYPE_CODES if d)
+                    raise ValueError(
+                        f"blob {name!r} has unsupported dtype {arr.dtype}; "
+                        f"supported: {supported} (cast float64→float32 / "
+                        "int64→int32 before writing)"
+                    )
                 code = _DTYPE_CODES[arr.dtype]
                 buf.write(struct.pack("<BB", code, arr.ndim))
                 buf.write(struct.pack(f"<{arr.ndim}I", *arr.shape))
@@ -87,10 +94,25 @@ class RecordWriter:
         self._f.close()
         os.replace(self.path + ".tmp", self.path)  # atomic publish
 
+    def abort(self) -> None:
+        """Discard the in-progress shard (nothing is published)."""
+        try:
+            self._f.close()
+        finally:
+            try:
+                os.remove(self.path + ".tmp")
+            except OSError:
+                pass
+
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
+    def __exit__(self, exc_type, exc, tb):
+        # A failed pack must NOT atomically publish a truncated shard over a
+        # previous complete one — abort and let the exception propagate.
+        if exc_type is not None:
+            self.abort()
+            return False
         self.close()
 
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from cvm_tpu.models.centernet.params import CenternetParams
 from cvm_tpu.ops.heatmap import CenternetTargets, render_centernet_targets_batch
 from cvm_tpu.ops.image import map_boxes_to_output
-from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_batch
+from cvm_tpu.pipeline.preprocess import aug_from_params, preprocess_batch
 
 
 def make_processor(params: CenternetParams, train: bool):
@@ -27,9 +27,7 @@ def make_processor(params: CenternetParams, train: bool):
     """
     from cvm_tpu.utils.backend import is_tpu_backend
 
-    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, params.aug_flip_prob,
-                    noise_std=getattr(params, "aug_noise_std", 0.0),
-                    blur_prob=getattr(params, "aug_blur_prob", 0.0))
+    aug = aug_from_params(params)
     out_hw = params.input_hw
     map_hw = params.map_hw
     use_pallas = params.use_pallas_splat and is_tpu_backend()
@@ -49,11 +47,17 @@ def make_processor(params: CenternetParams, train: bool):
             # Camera-frame z, metric dims, yaw as sin/cos. Depth is left
             # augmentation-uncorrected (CenterNet ddd convention); 3D configs
             # should keep aug_scale_range tight.
+            # Horizontal flip mirrors the camera: ry → pi - ry, i.e. sin
+            # unchanged, cos negated — without this ~half the flipped samples
+            # supervise the rotation head with the wrong cos sign.
             ry = batch["rot_y"]
+            flip_sign = jnp.where(rois.flip_x, -1.0, 1.0)[:, None]
             extra_values = {
                 "depth3d": batch["loc3d"][..., 2:3],
                 "dims3d": batch["dims3d"],
-                "rot": jnp.stack([jnp.sin(ry), jnp.cos(ry)], axis=-1),
+                "rot": jnp.stack(
+                    [jnp.sin(ry), jnp.cos(ry) * flip_sign], axis=-1
+                ),
             }
         targets = render_centernet_targets_batch(
             boxes, batch["classes"], valid, map_hw, params.num_classes,

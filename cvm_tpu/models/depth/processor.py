@@ -13,13 +13,11 @@ import jax.numpy as jnp
 
 from cvm_tpu.models.depth.params import DepthParams
 from cvm_tpu.ops.image import sample_nearest
-from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_batch
+from cvm_tpu.pipeline.preprocess import aug_from_params, preprocess_batch
 
 
 def make_processor(params: DepthParams, train: bool):
-    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, params.aug_flip_prob,
-                    noise_std=getattr(params, "aug_noise_std", 0.0),
-                    blur_prob=getattr(params, "aug_blur_prob", 0.0))
+    aug = aug_from_params(params)
     out_hw = params.input_hw
 
     def process(key, batch):

@@ -13,13 +13,11 @@ import jax.numpy as jnp
 from cvm_tpu.models.dmds.params import DmdsParams
 from cvm_tpu.ops.image import sample_bilinear
 from cvm_tpu.ops.warp import scale_intrinsics
-from cvm_tpu.pipeline.preprocess import AugConfig, make_rois, resample_yuv420_frame
+from cvm_tpu.pipeline.preprocess import aug_from_params, make_rois, resample_yuv420_frame
 
 
 def make_processor(params: DmdsParams, train: bool):
-    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, flip_prob=0.0,
-                    noise_std=getattr(params, "aug_noise_std", 0.0),
-                    blur_prob=getattr(params, "aug_blur_prob", 0.0))
+    aug = aug_from_params(params, flip_prob=0.0)  # flip would mirror motion
     out_hw = params.input_hw
 
     def process(key, batch):

@@ -8,13 +8,11 @@ import jax.numpy as jnp
 from cvm_tpu.models.multitask.params import MultitaskParams
 from cvm_tpu.ops.heatmap import render_centernet_targets_batch
 from cvm_tpu.ops.image import map_boxes_to_output, sample_nearest
-from cvm_tpu.pipeline.preprocess import AugConfig, preprocess_batch
+from cvm_tpu.pipeline.preprocess import aug_from_params, preprocess_batch
 
 
 def make_processor(params: MultitaskParams, train: bool):
-    aug = AugConfig(params.aug_scale_range, params.aug_shift_frac, params.aug_flip_prob,
-                    noise_std=getattr(params, "aug_noise_std", 0.0),
-                    blur_prob=getattr(params, "aug_blur_prob", 0.0))
+    aug = aug_from_params(params)
     out_hw = params.input_hw
 
     def process(key, batch):

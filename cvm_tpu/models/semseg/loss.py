@@ -20,6 +20,13 @@ def semseg_loss(
     labels = targets["classes"]
     C = params.num_classes
 
+    if len(params.class_weights) != C:
+        # A short weight tuple would silently CLAMP label indices under jit
+        # (classes beyond the tuple all get the last weight).
+        raise ValueError(
+            f"class_weights has {len(params.class_weights)} entries but "
+            f"num_classes={C}; they must match"
+        )
     valid = (labels != params.ignore_index) & (labels >= 0) & (labels < C)
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)

@@ -14,11 +14,13 @@ from cvm_tpu.utils.config import BaseParams
 # comma10k-style classes and display palette (RGB).
 SEMSEG_CLASSES = ("road", "lane_markings", "undrivable", "movable", "ego_car")
 SEMSEG_PALETTE = (
-    (64, 32, 32),
-    (255, 0, 255),
-    (128, 128, 96),
-    (0, 255, 102),
-    (204, 0, 255),
+    (64, 32, 32),    # road #402020
+    (255, 0, 0),     # lane_markings #ff0000 (comma10k); was wrongly #ff00ff,
+                     # which made every real lane pixel miss the pack-time
+                     # palette match and map to ignore
+    (128, 128, 96),  # undrivable #808060
+    (0, 255, 102),   # movable #00ff66
+    (204, 0, 255),   # ego_car #cc00ff
 )
 
 

@@ -38,6 +38,18 @@ class AugConfig(NamedTuple):
     blur_prob: float = 0.0   # probability of a 3x3 binomial blur
 
 
+def aug_from_params(params, flip_prob=None) -> "AugConfig":
+    """Build the shared AugConfig from a model Params object (one place to
+    wire a new augmentation field instead of five processors)."""
+    return AugConfig(
+        params.aug_scale_range,
+        params.aug_shift_frac,
+        params.aug_flip_prob if flip_prob is None else flip_prob,
+        noise_std=getattr(params, "aug_noise_std", 0.0),
+        blur_prob=getattr(params, "aug_blur_prob", 0.0),
+    )
+
+
 def make_rois(
     key: Optional[jax.Array],
     image_hw: jnp.ndarray,
