@@ -120,11 +120,17 @@ class InferencePipeline:
 
         with_3d = self.with_3d
 
-        def run_yuv(variables, y, u, v, image_hw, intrinsics):
+        def run_yuv(variables, y, u, v, image_hw, intrinsics, t1=None):
             proc, rois = preprocess_yuv420_batch(
                 None, y, u, v, image_hw, out_hw, train=False,
                 out_dtype=jnp.bfloat16,
             )
+            if t1 is not None:  # two-frame dmds: same ROI via same image_hw
+                proc_b, _ = preprocess_yuv420_batch(
+                    None, *t1, image_hw, out_hw, train=False,
+                    out_dtype=jnp.bfloat16,
+                )
+                proc = jnp.concatenate([proc, proc_b], axis=-1)
             out = self._apply(variables, proc, train=False)
             return _postprocess(spec.name, params_cfg, out, rois, intrinsics)
 
@@ -148,17 +154,8 @@ class InferencePipeline:
             # fuse into the device preprocess.
             if is_dmds:
                 def predict(variables, y, u, v, y1, u1, v1, image_hw):
-                    proc_a, rois = preprocess_yuv420_batch(
-                        None, y, u, v, image_hw, out_hw, train=False,
-                        out_dtype=jnp.bfloat16,
-                    )
-                    proc_b, _ = preprocess_yuv420_batch(
-                        None, y1, u1, v1, image_hw, out_hw, train=False,
-                        out_dtype=jnp.bfloat16,
-                    )
-                    proc = jnp.concatenate([proc_a, proc_b], axis=-1)
-                    out = self._apply(variables, proc, train=False)
-                    return _postprocess(spec.name, params_cfg, out, rois, None)
+                    return run_yuv(variables, y, u, v, image_hw, None,
+                                   t1=(y1, u1, v1))
 
                 n_data_args = 7
             elif with_3d:

@@ -58,22 +58,31 @@ def quantize_params(params: Any) -> Tuple[Any, Dict[str, int]]:
     return qtree, {"quantized": n_quant, "total": n_total}
 
 
-def dequantize_params(qparams: Any, dtype=jnp.float32) -> Any:
-    """Inverse of quantize_params: rebuild an fp pytree for model.apply."""
+def map_quantized_leaves(tree: Any, fn) -> Any:
+    """Walk a (possibly quantized) param pytree, replacing every
+    {"int8", "scale"} leaf with ``fn(int8_arr, scale_arr)``. The ONE place
+    that knows the quantized-leaf format (runtime + dequantize share it)."""
 
-    def visit(tree):
+    def visit(node):
         out = {}
-        for k, v in tree.items():
+        for k, v in node.items():
             if isinstance(v, dict):
                 if set(v.keys()) == {"int8", "scale"}:
-                    out[k] = (jnp.asarray(v["int8"], dtype) * jnp.asarray(v["scale"], dtype))
+                    out[k] = fn(v["int8"], v["scale"])
                 else:
                     out[k] = visit(v)
             else:
                 out[k] = v
         return out
 
-    return visit(qparams)
+    return visit(tree)
+
+
+def dequantize_params(qparams: Any, dtype=jnp.float32) -> Any:
+    """Inverse of quantize_params: rebuild an fp pytree for model.apply."""
+    return map_quantized_leaves(
+        qparams, lambda q, s: jnp.asarray(q, dtype) * jnp.asarray(s, dtype)
+    )
 
 
 # ---------------------------------------------------------------------------

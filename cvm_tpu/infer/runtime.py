@@ -26,15 +26,16 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return tree
 
 
-def _dequantize_in_place(tree: Dict[str, Any]):
-    """Collapse {"int8", "scale"} leaves back to fp32 arrays."""
-    for k, v in list(tree.items()):
-        if isinstance(v, dict):
-            if set(v.keys()) == {"int8", "scale"}:
-                tree[k] = v["int8"].astype(np.float32) * v["scale"].astype(np.float32)
-            else:
-                _dequantize_in_place(v)
-    return tree
+def _dequantize(tree: Dict[str, Any]):
+    """Collapse {"int8", "scale"} leaves back to fp32 arrays (numpy).
+
+    Shares the quantized-leaf walker with infer.quantize so a format change
+    (e.g. per-group scales) cannot diverge between export and load."""
+    from cvm_tpu.infer.quantize import map_quantized_leaves
+
+    return map_quantized_leaves(
+        tree, lambda q, s: q.astype(np.float32) * s.astype(np.float32)
+    )
 
 
 class ServingModel:
@@ -57,7 +58,7 @@ class ServingModel:
 
         with np.load(os.path.join(artifact_dir, "weights.npz")) as z:
             flat = {k: z[k] for k in z.files}
-        tree = _dequantize_in_place(_unflatten(flat))
+        tree = _dequantize(_unflatten(flat))
         self.variables = {
             "params": tree.get("params", {}),
             "batch_stats": tree.get("batch_stats", {}),

@@ -69,16 +69,29 @@ def render_sample(out_path: str, image, image_hw, outputs: Dict[str, np.ndarray]
             for a, b in edges:
                 draw.line([pts[a], pts[b]], fill=color, width=1)
 
+    def _unletterbox(canvas: np.ndarray) -> np.ndarray:
+        """Crop the letterbox content window out of a model-canvas map so
+        the overlay aligns with the original image (mirrors letterbox_roi:
+        scale = min(out/in), centered, pad bars outside the window). Boxes
+        get the same inverse via map_boxes_to_input; stretching the WHOLE
+        canvas (pad bars included) would land the overlay squashed/offset."""
+        ch, cw = canvas.shape[:2]
+        scale = min(ch / h, cw / w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        y0 = int(np.floor((ch - nh) * 0.5))
+        x0 = int(np.floor((cw - nw) * 0.5))
+        return canvas[y0 : y0 + max(nh, 1), x0 : x0 + max(nw, 1)]
+
     if "class_map" in outputs:
-        cm = np.asarray(outputs["class_map"])
+        cm = _unletterbox(np.asarray(outputs["class_map"]))
         pal = np.asarray(SEMSEG_PALETTE, np.uint8)
         overlay = pal[np.clip(cm, 0, len(pal) - 1)]
         ov = Image.fromarray(overlay).resize(img.size, Image.NEAREST)
         img = Image.blend(img.convert("RGB"), ov, 0.4)
 
     if "depth" in outputs and "class_map" not in outputs:
-        d = np.asarray(outputs["depth"])[..., 0]
-        dn = (255 * (1.0 - (d - d.min()) / max(d.ptp(), 1e-6))).astype(np.uint8)
+        d = _unletterbox(np.asarray(outputs["depth"])[..., 0])
+        dn = (255 * (1.0 - (d - d.min()) / max(np.ptp(d), 1e-6))).astype(np.uint8)
         dm = Image.fromarray(dn).convert("RGB").resize(img.size)
         img = Image.blend(img.convert("RGB"), dm, 0.5)
 

@@ -131,7 +131,12 @@ class Detection3dEvaluator:
 
     def add_image(self, det_boxes, det_scores, det_classes, det_centers3d,
                   gt_boxes, gt_classes, gt_loc3d) -> None:
-        self.n_gt += len(gt_boxes)
+        # GTs without a valid 3D annotation (z <= 0) are excluded up front:
+        # they must neither absorb a match (blocking a later valid pairing)
+        # nor inflate the matched-fraction denominator.
+        valid_gt = np.asarray(gt_loc3d)[:, 2] > 0 if len(gt_boxes) else \
+            np.zeros(0, bool)
+        self.n_gt += int(valid_gt.sum())
         keep = det_scores >= self.score
         boxes, scores = det_boxes[keep], det_scores[keep]
         classes, centers = det_classes[keep], det_centers3d[keep]
@@ -139,15 +144,13 @@ class Detection3dEvaluator:
         iou = box_iou_matrix(boxes[order], gt_boxes)
         used = np.zeros(len(gt_boxes), bool)
         for r, d in enumerate(order):
-            cand = np.where((iou[r] >= self.iou) & ~used
+            cand = np.where((iou[r] >= self.iou) & ~used & valid_gt
                             & (gt_classes == classes[d]))[0]
             if len(cand) == 0:
                 continue
             g = cand[np.argmax(iou[r][cand])]
             used[g] = True
             dz = float(gt_loc3d[g][2])
-            if dz <= 0:
-                continue
             err = float(np.linalg.norm(centers[d] - gt_loc3d[g]))
             self.center_err += err
             self.depth_abs_rel += abs(float(centers[d][2]) - dz) / dz
@@ -253,9 +256,23 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
     if spec.name in ("depth", "multitask", "dmds"):
         dep_eval = DepthEvaluator()
 
+    from functools import partial
+
     from cvm_tpu.ops.image import letterbox_roi, sample_nearest
     import jax
     import jax.numpy as jnp
+
+    # GT mask/depth resample as ONE jitted, batch-vmapped program per batch
+    # (an eager per-image letterbox+sample is ~20 tiny dispatches per image
+    # — minutes of pure relay RTT over a remote backend).
+    @partial(jax.jit, static_argnames=("pad_value",))
+    def _resample_gt_batch(arrs, image_hw, pad_value):
+        def one(a, hw):
+            roi = letterbox_roi(hw[0], hw[1], *cfg.input_hw)
+            return sample_nearest(a, roi, cfg.input_hw,
+                                  valid_hw=(hw[0], hw[1]), pad_value=pad_value)
+
+        return jax.vmap(one)(arrs, image_hw)
 
     n = 0
     for batch in loader:
@@ -269,6 +286,19 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
         out = pipe(batch)
         out = {k: np.asarray(v) for k, v in out.items()}
         B = batch["image_hw"].shape[0]
+        gt_masks = gt_depths = None
+        if seg_eval is not None and "mask" in batch:
+            gt_masks = np.asarray(_resample_gt_batch(
+                jnp.asarray(batch["mask"], jnp.int32),
+                jnp.asarray(batch["image_hw"]),
+                pad_value=getattr(cfg, "ignore_index", 255),
+            ))
+        if dep_eval is not None and "depth" in batch and "depth" in out:
+            gt_depths = np.asarray(_resample_gt_batch(
+                jnp.asarray(batch["depth"]),
+                jnp.asarray(batch["image_hw"]),
+                pad_value=0.0,
+            ))
         for i in range(B):
             if det_eval is not None and "boxes" in batch:
                 ng = int(batch["num_objects"][i])
@@ -284,27 +314,10 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
                         np.asarray(batch["classes"][i][:ng]),
                         np.asarray(batch["loc3d"][i][:ng]),
                     )
-            if seg_eval is not None and "mask" in batch:
-                # GT mask resampled with the same eval-letterbox geometry.
-                h, w = int(batch["image_hw"][i][0]), int(batch["image_hw"][i][1])
-                roi = letterbox_roi(h, w, *cfg.input_hw)
-                gt = np.asarray(
-                    sample_nearest(
-                        jnp.asarray(batch["mask"][i], jnp.int32), roi, cfg.input_hw,
-                        valid_hw=(h, w), pad_value=getattr(cfg, "ignore_index", 255),
-                    )
-                )
-                seg_eval.add(out["class_map"][i], gt)
-            if dep_eval is not None and "depth" in batch and "depth" in out:
-                h, w = int(batch["image_hw"][i][0]), int(batch["image_hw"][i][1])
-                roi = letterbox_roi(h, w, *cfg.input_hw)
-                gt = np.asarray(
-                    sample_nearest(
-                        jnp.asarray(batch["depth"][i]), roi, cfg.input_hw,
-                        valid_hw=(h, w), pad_value=0.0,
-                    )
-                )
-                dep_eval.add(out["depth"][i][..., 0], gt)
+            if gt_masks is not None:
+                seg_eval.add(out["class_map"][i], gt_masks[i])
+            if gt_depths is not None:
+                dep_eval.add(out["depth"][i][..., 0], gt_depths[i])
         n += 1
 
     metrics: Dict[str, float] = {}

@@ -160,6 +160,7 @@ class Trainer:
         self.processor = spec.make_processor(params_cfg, train=True)
         self.log_every = log_every
         self.checkpoint_every = checkpoint_every
+        self.seed = seed
         self.key = jax.random.PRNGKey(seed)
 
         self._repl = replicated(self.mesh)
@@ -245,7 +246,13 @@ class Trainer:
         channels = 6 if self.spec.name == "dmds" else 3
         sample = jnp.zeros((1, *self.cfg.input_hw, channels), jnp.float32)
         with jax.default_device(jax.devices()[0]):
-            state = create_train_state(self.model, self.cfg, self.tx, sample)
+            # The seed must reach weight init too — otherwise every "seed"
+            # trains from byte-identical initial weights and only the
+            # augmentation stream differs.
+            state = create_train_state(
+                self.model, self.cfg, self.tx, sample,
+                rngs={"params": jax.random.PRNGKey(self.seed)},
+            )
         if self.tp_rules:
             self._state_sh = self._tp_state_shardings(state)
             self.train_step = self._jit_step(self._state_sh)
@@ -270,6 +277,7 @@ class Trainer:
         from cvm_tpu.data.loader import prefetch_to_device
 
         last: Dict[str, float] = {}
+        metrics = None
         t0 = time.perf_counter()
         steps_in_window = 0
         # One base key per fit() call; the per-step key is fold_in(base, step)
@@ -334,6 +342,13 @@ class Trainer:
                     self.ckpt.save(step, self.state)
         finally:
             done.set()
+        if steps_in_window and metrics is not None:
+            # num_steps not a multiple of log_every: the documented "last
+            # metrics" must reflect the FINAL step, not the last log point.
+            tail = {k: float(v) for k, v in metrics.items()}
+            tail["steps_per_sec"] = steps_in_window / max(
+                time.perf_counter() - t0, 1e-9)
+            last = tail
         if self.ckpt is not None:
             self.ckpt.wait()
         return last
