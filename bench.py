@@ -84,7 +84,10 @@ def _make_host_batches(pad_hw, batch_size, n_batches=12, quality=90,
             src = os.path.join(td, "bench.cvrec")
             with RecordWriter(src) as w:
                 for i, j in enumerate(all_jpegs):
-                    w.write({"id": f"b{i}"}, {"jpeg": j})
+                    # height/width meta lets repack size its decode buffers
+                    # (omitting them pads every decode to the 4096^2 default).
+                    w.write({"id": f"b{i}", "height": pad_hw[0],
+                             "width": pad_hw[1]}, {"jpeg": j})
             out = os.path.join(td, "bench_yuv.cvrec")
             repack_yuv(src, out)
             ld = RecordLoader(RecordDataset([out]), batch_size, pad_hw,
@@ -140,7 +143,7 @@ def _tunnel_health_probe(max_wait_s: float = 2400.0) -> float:
         time.sleep(45.0)
 
 
-def measure_tpu(batch_size: int = 8, iters: int = 30, warmup: int = 3) -> dict:
+def measure_tpu(iters: int = 30) -> dict:
     import jax
 
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -290,10 +293,15 @@ def main() -> int:
     ours = measure_tpu()
     try:
         ref = get_reference_baseline()
-        vs = ours["images_per_sec"] / max(ref["images_per_sec"], 1e-9)
+        # Like-for-like: the reference number INCLUDES host decode, so the
+        # headline ratio uses our decode-inclusive rate; the device-resident
+        # ratio (achievable in production via raw-YUV serving shards) is
+        # reported alongside, labeled as such.
+        vs = ours["images_per_sec_incl_decode"] / max(ref["images_per_sec"], 1e-9)
+        vs_dev = ours["images_per_sec"] / max(ref["images_per_sec"], 1e-9)
     except Exception as e:  # baseline emulation failure must not kill bench
         ref = {"error": str(e), "images_per_sec": 0.0}
-        vs = 0.0
+        vs = vs_dev = 0.0
     result = {
         "metric": "centernet_512x512_e2e_images_per_sec_per_chip",
         "value": round(ours["images_per_sec"], 2),
@@ -306,6 +314,7 @@ def main() -> int:
         "host_decode_ms_per_batch": round(ours["host_decode_ms_per_batch"], 2),
         "batch_size": ours["batch_size"],
         "baseline_images_per_sec": round(ref.get("images_per_sec", 0.0), 3),
+        "vs_baseline_device_resident": round(vs_dev, 2),
         "device": ours.get("device", "?"),
     }
     for k in ("gflops_per_image", "achieved_tflops", "mfu_pct",

@@ -40,40 +40,85 @@ def _bench_infer(spec_name, cfg, iters=20, warmup=3):
 
     rng = np.random.default_rng(0)
     pad = (int(cfg.input_hw[0] * 1.5) // 2 * 2, int(cfg.input_hw[1] * 1.5) // 2 * 2)
+    # Distinct buffers per dispatch + a one-element host readback as the
+    # completion signal: identical dispatches can be served from a relay
+    # cache and block_until_ready has been observed to ack at dispatch
+    # (the retracted round-1 lesson; same protections as bench.py).
+    n_buf = max(8, warmup + 1)
     batches = [
         synthetic_batch(rng, cfg.batch_size, pad, num_classes=5,
                         two_frame=(spec_name == "dmds"))
-        for _ in range(3)
+        for _ in range(n_buf)
     ]
-    for b in batches[:warmup] or batches[:1]:
+
+    def _readback(out):
+        leaf = next(iter(out.values()))
+        return float(np.asarray(jax.device_get(leaf)).ravel()[0])
+
+    for b in batches:
         jax.block_until_ready(pipe(b))
 
     t0 = time.perf_counter()
-    outs = [pipe(batches[i % 3]) for i in range(iters)]
+    outs = [pipe(batches[i % n_buf]) for i in range(iters)]
     jax.block_until_ready(outs)
+    _readback(outs[-1])
     t_pipe = (time.perf_counter() - t0) / iters
 
     lat = []
     for i in range(max(iters // 3, 3)):
         t0 = time.perf_counter()
-        jax.block_until_ready(pipe(batches[i % 3]))
+        out = pipe(batches[i % n_buf])
+        jax.block_until_ready(out)
+        _readback(out)
         lat.append(time.perf_counter() - t0)
-    return {
+
+    res = {
         "images_per_sec": round(cfg.batch_size / t_pipe, 2),
         "p50_latency_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
         "batch_size": cfg.batch_size,
     }
+    # Roofline guard (same contract as the train bench): refuse impossible
+    # FLOP rates instead of publishing them.
+    try:
+        flops = _compiled_flops(
+            pipe._predict.lower(pipe._variables, *(
+                (batches[0]["y"], batches[0]["u"], batches[0]["v"],
+                 batches[0]["image_hw"]) if "y" in batches[0] else
+                ((batches[0]["image"], batches[0]["image_hw"],
+                  batches[0]["image_t1"]) if spec_name == "dmds" else
+                 (batches[0]["image"], batches[0]["image_hw"]))
+            )).compile()
+        )
+        peak, _ = _device_peak_tflops()
+        if flops > 0:
+            achieved = flops / t_pipe / 1e12
+            res["achieved_tflops"] = round(achieved, 2)
+            if peak is not None:
+                res["mfu_pct"] = round(100 * achieved / peak, 1)
+                if achieved > peak:
+                    raise RuntimeError(
+                        f"IMPOSSIBLE measurement for {spec_name}: "
+                        f"{achieved:.0f} TFLOP/s > {peak:.0f} peak — refusing"
+                    )
+    except RuntimeError:
+        raise
+    except Exception:
+        pass  # cost analysis unavailable → report times without MFU
+    return res
 
 
 # bf16 dense peak per chip, TFLOP/s — the roofline no honest measurement
 # can exceed. Matched by substring on device_kind; unknown kinds (CPU, new
 # chips) skip the guard.
 _CHIP_PEAK_TFLOPS = (
-    ("v5 lite", 197.0),   # v5e
+    ("v5 lite", 197.0),   # v5e (device_kind "TPU v5 lite")
+    ("v5e", 197.0),       # alternative kind spelling on newer stacks
     ("v5p", 459.0),
-    ("v5", 459.0),
     ("v4", 275.0),
     ("v6", 918.0),        # trillium
+    # NO generic "v5" catch-all: assigning v5p's 459 to an unrecognized
+    # v5-family spelling would report MFU 2.3x too low AND raise the
+    # impossible-measurement threshold 2.3x on the chip class we target.
 )
 
 
