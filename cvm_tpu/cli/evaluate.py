@@ -27,6 +27,8 @@ def main(argv=None):
                         help="also write metrics as JSON to this path")
     parser.add_argument("--per_class", action="store_true",
                         help="report per-class AP / IoU alongside the means")
+    parser.add_argument("--size_ap", action="store_true",
+                        help="report COCO-style mAP_small/medium/large")
     args, overrides = parser.parse_known_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
@@ -110,7 +112,8 @@ def main(argv=None):
     variables = {"params": eval_params,
                  "batch_stats": trainer.state.batch_stats}
     m = evaluate_model(spec, cfg, variables, val, max_batches=args.batches,
-                       mesh=trainer.mesh, per_class=args.per_class)
+                       mesh=trainer.mesh, per_class=args.per_class,
+                       size_buckets=args.size_ap)
     print(f"[cvm_tpu] eval model={args.model} step={step} split={args.split}: "
           f"{json.dumps(m, sort_keys=True)}", flush=True)
     if args.json_out:

@@ -46,12 +46,21 @@ class DetectionEvaluator:
         gt_boxes: np.ndarray,
         gt_classes: np.ndarray,
         score_threshold: float = 0.01,
+        gt_ignore: Optional[np.ndarray] = None,
     ) -> None:
+        """``gt_ignore``: (G,) bool — COCO ignore semantics: a detection that
+        best-matches an ignored GT is dropped from scoring (neither TP nor
+        FP), and ignored GTs don't count toward recall. Used for the
+        size-bucketed AP breakdown."""
         keep = det_scores >= score_threshold
         det_boxes, det_scores, det_classes = det_boxes[keep], det_scores[keep], det_classes[keep]
+        if gt_ignore is None:
+            gt_ignore = np.zeros(len(gt_boxes), bool)
         for c in range(self.num_classes):
-            gtc = gt_boxes[gt_classes == c]
-            self._n_gt[c] += len(gtc)
+            sel = gt_classes == c
+            gtc = gt_boxes[sel]
+            ign = np.asarray(gt_ignore)[sel]
+            self._n_gt[c] += int((~ign).sum())
             dc = det_classes == c
             boxes = det_boxes[dc]
             scores = det_scores[dc]
@@ -62,15 +71,21 @@ class DetectionEvaluator:
             matched = np.zeros((T, len(gtc)), bool)
             for i in range(len(boxes)):
                 tp = np.zeros(T, bool)
+                ignored = np.zeros(T, bool)
                 for t, thr in enumerate(self.thresholds):
                     if len(gtc) == 0:
                         continue
-                    cand = np.where(~matched[t] & (iou[i] >= thr))[0]
+                    # Prefer non-ignored GTs (COCO: match real GTs first).
+                    cand = np.where(~matched[t] & (iou[i] >= thr) & ~ign)[0]
                     if len(cand):
                         j = cand[np.argmax(iou[i][cand])]
                         matched[t, j] = True
                         tp[t] = True
-                self._dets[c].append((float(scores[i]), tp))
+                        continue
+                    icand = np.where((iou[i] >= thr) & ign)[0]
+                    if len(icand):
+                        ignored[t] = True  # matched an ignored GT → drop
+                self._dets[c].append((float(scores[i]), tp, ignored))
 
     def compute(self, per_class: bool = False) -> Dict[str, float]:
         T = len(self.thresholds)
@@ -82,9 +97,11 @@ class DetectionEvaluator:
             if not dets:
                 ap[c] = 0.0
                 continue
-            tps = np.stack([d[1] for d in dets])  # (D, T)
+            tps = np.stack([d[1] for d in dets])   # (D, T)
+            igns = np.stack([d[2] for d in dets])  # (D, T)
             for t in range(T):
-                tp = tps[:, t].astype(np.float64)
+                use = ~igns[:, t]  # ignored-at-t dets are neither TP nor FP
+                tp = tps[use, t].astype(np.float64)
                 fp = 1.0 - tp
                 ctp, cfp = np.cumsum(tp), np.cumsum(fp)
                 recall = ctp / self._n_gt[c]
@@ -229,9 +246,14 @@ class DepthEvaluator:
         }
 
 
+_COCO_AREA_BUCKETS = {"small": (0.0, 32.0**2), "medium": (32.0**2, 96.0**2),
+                      "large": (96.0**2, float("inf"))}
+
+
 def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = None,
                    mesh=None, input_format: str = "auto",
-                   per_class: bool = False) -> Dict[str, float]:
+                   per_class: bool = False,
+                   size_buckets: bool = False) -> Dict[str, float]:
     """Run the e2e pipeline over a loader and compute task metrics.
 
     ``input_format``: "rgb", "yuv420", or "auto" (detect from the first
@@ -242,10 +264,15 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
 
     pipe = None  # built on the first batch once the format is known
     det_eval = seg_eval = dep_eval = det3d_eval = None
+    bucket_evals: Dict[str, DetectionEvaluator] = {}
     if spec.name in ("centernet", "multitask"):
-        det_eval = DetectionEvaluator(
-            getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 0))
-        )
+        n_det = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 0))
+        det_eval = DetectionEvaluator(n_det)
+        if size_buckets:
+            # COCO-style area breakdown: out-of-bucket GTs are IGNORED
+            # (matches neither TP nor FP) per the standard protocol.
+            bucket_evals = {name: DetectionEvaluator(n_det)
+                            for name in _COCO_AREA_BUCKETS}
         if getattr(cfg, "with_3d", False):
             det3d_eval = Detection3dEvaluator()
     if spec.name in ("semseg", "multitask"):
@@ -302,10 +329,21 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
         for i in range(B):
             if det_eval is not None and "boxes" in batch:
                 ng = int(batch["num_objects"][i])
+                gt_b = np.asarray(batch["boxes"][i][:ng])
+                gt_c = np.asarray(batch["classes"][i][:ng])
                 det_eval.add_image(
                     out["boxes"][i], out["scores"][i], out["classes"][i],
-                    np.asarray(batch["boxes"][i][:ng]), np.asarray(batch["classes"][i][:ng]),
+                    gt_b, gt_c,
                 )
+                if bucket_evals:
+                    areas = np.prod(np.clip(gt_b[:, 2:] - gt_b[:, :2], 0, None), -1) \
+                        if ng else np.zeros(0)
+                    for name, (lo, hi) in _COCO_AREA_BUCKETS.items():
+                        in_bucket = (areas >= lo) & (areas < hi)
+                        bucket_evals[name].add_image(
+                            out["boxes"][i], out["scores"][i], out["classes"][i],
+                            gt_b, gt_c, gt_ignore=~in_bucket,
+                        )
                 if det3d_eval is not None and "centers3d" in out and "loc3d" in batch:
                     det3d_eval.add_image(
                         out["boxes"][i], out["scores"][i], out["classes"][i],
@@ -323,6 +361,8 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
     metrics: Dict[str, float] = {}
     if det_eval is not None:
         metrics.update(det_eval.compute(per_class=per_class))
+    for name, ev in bucket_evals.items():
+        metrics[f"mAP_{name}"] = ev.compute()["mAP"]
     if det3d_eval is not None:
         metrics.update(det3d_eval.compute())
     if seg_eval is not None:

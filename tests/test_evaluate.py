@@ -172,3 +172,45 @@ def test_per_class_metrics():
     assert m["iou_class_0"] == pytest.approx(1.0)
     assert m["iou_class_1"] == pytest.approx(0.5)
     assert m["iou_class_2"] == pytest.approx(0.5)
+
+
+def test_size_bucketed_ap_ignore_semantics():
+    """Out-of-bucket GTs are ignored (neither TP nor FP): a det matching an
+    ignored GT must not count as a false positive for that bucket."""
+    small = np.array([[0, 0, 10, 10]], np.float32)        # area 100
+    large = np.array([[100, 100, 300, 300]], np.float32)  # area 40000
+    gt = np.concatenate([small, large])
+    gtc = np.zeros(2, int)
+
+    # Small-bucket evaluator: the large GT is ignored. Detections: one
+    # perfect small match, one perfect large match (would be an FP without
+    # ignore handling).
+    ev = DetectionEvaluator(num_classes=1, iou_thresholds=[0.5])
+    ev.add_image(gt.copy(), np.array([0.9, 0.8]), gtc.copy(), gt, gtc,
+                 gt_ignore=np.array([False, True]))
+    m = ev.compute()
+    assert m["mAP50"] == pytest.approx(1.0, abs=1e-6)  # FP would halve this
+
+    # Same detections, no ignore: both GTs counted, both matched → still 1.
+    ev2 = DetectionEvaluator(num_classes=1, iou_thresholds=[0.5])
+    ev2.add_image(gt.copy(), np.array([0.9, 0.8]), gtc.copy(), gt, gtc)
+    assert ev2.compute()["mAP50"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_evaluate_model_size_buckets():
+    import jax
+
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+
+    spec = get_model("centernet")
+    p = spec.params_cls(input_hw=(64, 64), num_classes=3, max_objects=6,
+                        backbone="tiny", neck_features=32, head_features=16, top_k=20)
+    model = spec.create_model(p)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 3), np.float32), train=False)
+    rng = np.random.default_rng(0)
+    batches = [synthetic_batch(rng, 2, (96, 96), num_classes=3, max_objects=6)]
+    m = evaluate_model(spec, p, variables, batches, size_buckets=True)
+    for k in ("mAP_small", "mAP_medium", "mAP_large"):
+        assert k in m and np.isfinite(m[k])
