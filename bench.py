@@ -108,37 +108,60 @@ def _make_host_batches(pad_hw, batch_size, n_batches=12, quality=90,
     return batches, float(np.median(decode_times)), t_raw_feed
 
 
+_PROBE_SRC = """
+import time, numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+x = jnp.asarray(np.random.default_rng(0).random((1024, 1024), dtype=np.float32))
+jm = jax.jit(lambda a: jax.lax.dot(a, a) * 1e-3)
+jax.block_until_ready(jm(x))
+t0 = time.perf_counter()
+o = x
+for _ in range(5):
+    o = jm(o)
+jax.block_until_ready(o)
+float(np.asarray(o).ravel()[0])
+print((time.perf_counter() - t0) / 5 * 1e3)
+"""
+
+
+def _probe_once(timeout_s: float = 150.0) -> float:
+    """One tunnel probe in a SUBPROCESS (a fully stalled backend hangs the
+    first device op indefinitely — an in-process probe would hang the whole
+    benchmark with no output for the driver). Returns ms/matmul, or inf on
+    hang/failure."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if proc.returncode == 0:
+            return float(proc.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, ValueError, IndexError):
+        pass
+    return float("inf")
+
+
 def _tunnel_health_probe(max_wait_s: float = 2400.0) -> float:
-    """Guard against the relay's degraded mode (observed: a 2048^3 matmul
-    taking 7-16 s vs the normal <1 ms, for >1.5 h). A measurement taken in
-    that state is garbage, so probe with a small chained matmul and wait
-    (bounded) for the tunnel to recover before benchmarking.
+    """Guard against the relay's degraded/stalled modes (observed: >1.5 h
+    windows where a small matmul took seconds — or never returned at all).
+    A measurement taken degraded is garbage; a measurement attempted while
+    STALLED hangs forever. Probe (in a subprocess) and wait, bounded.
 
-    Returns the final probe time (ms per 1024^3 f32 matmul, ~0.1 ms healthy,
-    <=dispatch-floor ~2 ms over the relay)."""
-    import jax
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((1024, 1024), dtype=np.float32))
-    jm = jax.jit(lambda a: jax.lax.dot(a, a) * 1e-3)
+    Returns the final probe ms/matmul (~2 ms healthy over the relay;
+    inf = stalled — the caller must not attempt to measure)."""
     deadline = time.monotonic() + max_wait_s
     while True:
-        jax.block_until_ready(jm(x))
-        t0 = time.perf_counter()
-        o = x
-        for _ in range(5):
-            o = jm(o)
-        jax.block_until_ready(o)
-        float(np.asarray(o).ravel()[0])
-        dt_ms = (time.perf_counter() - t0) / 5 * 1e3
-        if dt_ms < 50.0 or time.monotonic() > deadline:
-            if dt_ms >= 50.0:
-                print(
-                    f"WARNING: tunnel still degraded after {max_wait_s:.0f}s "
-                    f"(probe {dt_ms:.0f} ms/matmul); numbers below understate "
-                    "the hardware", file=sys.stderr, flush=True,
-                )
+        dt_ms = _probe_once()
+        if dt_ms < 50.0:
+            return dt_ms
+        if time.monotonic() > deadline:
+            state = "STALLED" if dt_ms == float("inf") else f"{dt_ms:.0f} ms/matmul"
+            print(
+                f"WARNING: tunnel still degraded after {max_wait_s:.0f}s "
+                f"(probe {state})", file=sys.stderr, flush=True,
+            )
             return dt_ms
         time.sleep(45.0)
 
@@ -154,6 +177,14 @@ def measure_tpu(iters: int = 30) -> dict:
         pass
 
     probe_ms = _tunnel_health_probe()
+    if probe_ms == float("inf"):
+        # The backend never completed even a tiny matmul: attempting the
+        # real measurement would hang with no output. Report a parseable
+        # failure instead.
+        raise RuntimeError(
+            "device backend stalled — no measurement possible (probe never "
+            "completed within the wait budget)"
+        )
 
     from __graft_entry__ import entry
 
@@ -290,7 +321,19 @@ def get_reference_baseline(refresh: bool = False) -> dict:
 
 
 def main() -> int:
-    ours = measure_tpu()
+    try:
+        ours = measure_tpu()
+    except RuntimeError as e:
+        if "stalled" not in str(e):
+            raise
+        # Still emit the ONE JSON line the driver parses — an honest zero
+        # with the reason beats a hung process with no output.
+        print(json.dumps({
+            "metric": "centernet_512x512_e2e_images_per_sec_per_chip",
+            "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
+            "error": str(e),
+        }))
+        return 0
     try:
         ref = get_reference_baseline()
         # Like-for-like: the reference number INCLUDES host decode, so the
