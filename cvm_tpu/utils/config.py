@@ -87,9 +87,15 @@ class BaseParams:
             elif t in (bool, "bool"):
                 parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"), default=default)
             elif origin is tuple or "Tuple" in str(t):
+                # Element type from the annotation: Tuple[int, int] flags
+                # (input_hw, pad_hw...) must parse to ints — float shapes
+                # crash jit tracing ("Shapes must be ... integer type").
+                elem = int if "int" in str(t) else float
                 parser.add_argument(
                     f"--{f.name}",
-                    type=lambda s: tuple(json.loads(s) if s.startswith("[") else map(float, s.split(","))),
+                    type=lambda s, elem=elem: tuple(
+                        elem(v) for v in (json.loads(s) if s.startswith("[")
+                                          else s.split(","))),
                     default=default,
                 )
             else:
