@@ -148,6 +148,11 @@ def main(argv=None):
             remaining -= chunk
     else:
         metrics = trainer.fit(it, args.steps)
+    if args.data != "synthetic" and hasattr(loader, "stats"):
+        # Per-stage input-pipeline timing (read/decode/assemble ms per
+        # batch): compare decode against the device step to spot a
+        # host-decode-bound run at a glance.
+        print(f"[cvm_tpu] input pipeline: {loader.stats()}", flush=True)
     print(f"[cvm_tpu] done: {metrics}", flush=True)
     return 0
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
+from contextlib import contextmanager
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -186,15 +188,49 @@ class RecordLoader:
         # input (the feeder never decodes pixels the letterbox will discard;
         # labels follow the decoded extent via _label_scales).
         self.target_hw = tuple(target_hw)
+        # Per-stage host timing (SURVEY §5 tracing row): cumulative seconds
+        # in shard read / JPEG decode / batch+label assembly, on the worker
+        # thread. Benign cross-thread float reads; see stats().
+        self.stage_seconds = {"read": 0.0, "decode": 0.0, "assemble": 0.0}
+        self.batches_assembled = 0
+
+    @contextmanager
+    def _stage(self, name: str):
+        t = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.stage_seconds[name] += time.perf_counter() - t
+
+    def stats(self) -> Dict[str, float]:
+        """Per-stage input-pipeline timing: ms/batch for read (shard pread +
+        meta parse), decode (native JPEG), assemble (pad blits + label
+        tensors). The decode figure against the device step time tells you
+        directly whether serving is host-decode-bound (BENCH_r01 was)."""
+        n = max(self.batches_assembled, 1)
+        out = {f"{k}_ms_per_batch": 1e3 * v / n
+               for k, v in self.stage_seconds.items()}
+        out["batches"] = float(self.batches_assembled)
+        return out
 
     def _make_batch(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
+        t0 = time.perf_counter()
+        r0, d0 = self.stage_seconds["read"], self.stage_seconds["decode"]
+        batch = self._make_batch_inner(idxs)
+        inner = (self.stage_seconds["read"] - r0) + (self.stage_seconds["decode"] - d0)
+        self.stage_seconds["assemble"] += time.perf_counter() - t0 - inner
+        self.batches_assembled += 1
+        return batch
+
+    def _make_batch_inner(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
         metas, blobs, jpegs, raws = [], [], [], []
-        for i in idxs:
-            meta, blob = self.ds.get(int(i))
-            metas.append(meta)
-            blobs.append(blob)
-            jpegs.append(blob.get("jpeg"))
-            raws.append(blob.get("image"))
+        with self._stage("read"):
+            for i in idxs:
+                meta, blob = self.ds.get(int(i))
+                metas.append(meta)
+                blobs.append(blob)
+                jpegs.append(blob.get("jpeg"))
+                raws.append(blob.get("image"))
 
         Hm, Wm = self.pad_hw
         B = len(idxs)
@@ -224,10 +260,11 @@ class RecordLoader:
                     V[i, : h // 2, : w // 2] = vp
                     hw[i] = (h, w)
             if to_decode:
-                dy, du, dv, dhw = decode_jpeg_batch_yuv420(
-                    [j for _, j in to_decode], Hm, Wm, self.threads,
-                    target_hw=self.target_hw,
-                )
+                with self._stage("decode"):
+                    dy, du, dv, dhw = decode_jpeg_batch_yuv420(
+                        [j for _, j in to_decode], Hm, Wm, self.threads,
+                        target_hw=self.target_hw,
+                    )
                 for k, (i, _) in enumerate(to_decode):
                     Y[i], U[i], V[i] = dy[k], du[k], dv[k]
                     hw[i] = dhw[k]
@@ -261,10 +298,11 @@ class RecordLoader:
                 j1 = [(i, b["jpeg_t1"]) for i, b in enumerate(blobs)
                       if "jpeg_t1" in b and "y_t1" not in b]
                 if j1:
-                    dy, du, dv, _ = decode_jpeg_batch_yuv420(
-                        [j for _, j in j1], Hm, Wm, self.threads,
-                        target_hw=self.target_hw,
-                    )
+                    with self._stage("decode"):
+                        dy, du, dv, _ = decode_jpeg_batch_yuv420(
+                            [j for _, j in j1], Hm, Wm, self.threads,
+                            target_hw=self.target_hw,
+                        )
                     for k, (i, _) in enumerate(j1):
                         Y1[i], U1[i], V1[i] = dy[k], du[k], dv[k]
                 for i, b in enumerate(blobs):
@@ -285,10 +323,11 @@ class RecordLoader:
         images = np.zeros((B, Hm, Wm, 3), np.uint8)
         hw = np.ones((B, 2), np.int32)
         if to_decode:
-            dec, dec_hw = decode_jpeg_batch(
-                [j for _, j in to_decode], Hm, Wm, self.threads,
-                target_hw=self.target_hw,
-            )
+            with self._stage("decode"):
+                dec, dec_hw = decode_jpeg_batch(
+                    [j for _, j in to_decode], Hm, Wm, self.threads,
+                    target_hw=self.target_hw,
+                )
             for k, (i, _) in enumerate(to_decode):
                 images[i] = dec[k]
                 hw[i] = dec_hw[k]
@@ -332,10 +371,11 @@ class RecordLoader:
                 # Same target_hw as frame t: with scale-aware decode both
                 # frames MUST land at the same DCT scale — the processor
                 # resamples t1 through frame t's image_hw/ROI.
-                dec, _ = decode_jpeg_batch(
-                    [j for _, j in j1], Hm, Wm, self.threads,
-                    target_hw=self.target_hw,
-                )
+                with self._stage("decode"):
+                    dec, _ = decode_jpeg_batch(
+                        [j for _, j in j1], Hm, Wm, self.threads,
+                        target_hw=self.target_hw,
+                    )
                 for k, (i, _) in enumerate(j1):
                     img1[i] = dec[k]
             for i, b in enumerate(blobs):

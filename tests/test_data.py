@@ -107,6 +107,20 @@ def test_loader_batches(tmp_path, rng):
     assert b["intrinsics"].shape == (4, 4)
 
 
+def test_loader_stage_stats(tmp_path, rng):
+    p = str(tmp_path / "a.cvrec")
+    _write_shard(p, 8, rng)
+    ds = RecordDataset([p])
+    loader = RecordLoader(ds, batch_size=4, pad_hw=(48, 64), max_objects=8, loop=False)
+    n = len(list(iter(loader)))
+    s = loader.stats()
+    assert s["batches"] == float(n) == 2.0
+    # JPEG batches must attribute decode time; every stage is non-negative.
+    assert s["decode_ms_per_batch"] > 0.0
+    for k in ("read_ms_per_batch", "decode_ms_per_batch", "assemble_ms_per_batch"):
+        assert s[k] >= 0.0
+
+
 def test_prefetch_to_device(tmp_path, rng):
     import jax
 
