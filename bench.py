@@ -28,6 +28,7 @@ import io
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -35,6 +36,80 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 _BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+
+# ---------------------------------------------------------------------------
+# Deadline watchdog (VERDICT r2 #1): the driver kills bench.py with an outer
+# timeout; round 2 produced rc=124 and NO output because a degraded-but-alive
+# tunnel let the health probe wait its full budget and the measurement then
+# ran at seconds-per-dispatch. The contract is ONE parseable JSON line no
+# matter what the backend does, so a daemon timer emits a failure/partial
+# line and hard-exits before any plausible outer timeout.
+# ---------------------------------------------------------------------------
+
+_STATUS: dict = {"stage": "start", "tunnel_probe_ms": None, "ours": None}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _emit_line(payload: dict) -> bool:
+    """Print the one JSON line exactly once, process-wide."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return False
+        _EMITTED = True
+    print(json.dumps(payload), flush=True)
+    return True
+
+
+def _failure_payload(reason: str) -> dict:
+    payload = {
+        "metric": "centernet_512x512_e2e_images_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "images/sec",
+        "vs_baseline": 0.0,
+        "error": reason,
+        "stage": _STATUS.get("stage"),
+    }
+    if _STATUS.get("tunnel_probe_ms") is not None:
+        payload["tunnel_probe_ms"] = _STATUS["tunnel_probe_ms"]
+    ours = _STATUS.get("ours")
+    if ours:
+        # Measurement finished but a later stage (e.g. the CPU reference
+        # baseline) hit the deadline: report the real number, not a zero.
+        payload["value"] = round(ours["images_per_sec"], 2)
+        payload["value_basis"] = "device_resident_pipelined"
+        for k in ("p50_latency_ms", "images_per_sec_incl_decode", "mfu_pct",
+                  "achieved_tflops", "batch_size"):
+            if k in ours:
+                payload[k] = round(ours[k], 2) if isinstance(ours[k], float) else ours[k]
+    return payload
+
+
+def bench_deadline_s() -> float:
+    return float(os.environ.get("CVM_BENCH_DEADLINE_S", "1200"))
+
+
+def _install_deadline_watchdog() -> threading.Timer:
+    deadline = bench_deadline_s()
+
+    def _fire() -> None:
+        _emit_line(_failure_payload(
+            f"deadline {deadline:.0f}s exceeded at stage "
+            f"'{_STATUS.get('stage')}' (tunnel probe "
+            f"{_STATUS.get('tunnel_probe_ms')} ms)"))
+        # The main thread may be hung inside a device RPC that never
+        # returns — a daemon timer + hard exit is the only reliable out.
+        os._exit(0)
+
+    t = threading.Timer(deadline, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+class TunnelUnusable(RuntimeError):
+    """Backend stalled or degraded past the point of honest measurement."""
 
 
 def _make_host_batches(pad_hw, batch_size, n_batches=12, quality=90,
@@ -131,6 +206,11 @@ def _probe_once(timeout_s: float = 150.0) -> float:
     hang/failure."""
     import subprocess
 
+    fake = os.environ.get("CVM_BENCH_FAKE_PROBE_MS")
+    if fake is not None:
+        # Rehearsal hook (CI): simulate a degraded ("100") or stalled
+        # ("inf") tunnel without owning a broken backend.
+        return float(fake)
     try:
         proc = subprocess.run(
             [sys.executable, "-c", _PROBE_SRC],
@@ -143,17 +223,29 @@ def _probe_once(timeout_s: float = 150.0) -> float:
     return float("inf")
 
 
-def _tunnel_health_probe(max_wait_s: float = 2400.0) -> float:
-    """Guard against the relay's degraded/stalled modes (observed: >1.5 h
+def _tunnel_health_probe(max_wait_s: float | None = None) -> float:
+    """Guard against the relay's degraded/stalled modes (observed: >4 h
     windows where a small matmul took seconds — or never returned at all).
     A measurement taken degraded is garbage; a measurement attempted while
     STALLED hangs forever. Probe (in a subprocess) and wait, bounded.
 
+    The wait budget is derived from the bench deadline: enough must remain
+    after the last probe to run the measurement itself (~8 min reserve with
+    a warm compile cache), so a 20-min deadline waits at most ~12 min.
+
     Returns the final probe ms/matmul (~2 ms healthy over the relay;
-    inf = stalled — the caller must not attempt to measure)."""
+    >=50 ms = degraded, inf = stalled — the caller must not measure)."""
+    if max_wait_s is None:
+        env_wait = os.environ.get("CVM_BENCH_PROBE_WAIT_S")
+        max_wait_s = (float(env_wait) if env_wait is not None
+                      else max(60.0, bench_deadline_s() - 480.0))
+    retry_s = 0.2 if os.environ.get("CVM_BENCH_FAKE_PROBE_MS") else 45.0
     deadline = time.monotonic() + max_wait_s
     while True:
+        _STATUS["stage"] = "tunnel_probe"
         dt_ms = _probe_once()
+        if dt_ms != float("inf"):
+            _STATUS["tunnel_probe_ms"] = round(dt_ms, 2)
         if dt_ms < 50.0:
             return dt_ms
         if time.monotonic() > deadline:
@@ -163,7 +255,7 @@ def _tunnel_health_probe(max_wait_s: float = 2400.0) -> float:
                 f"(probe {state})", file=sys.stderr, flush=True,
             )
             return dt_ms
-        time.sleep(45.0)
+        time.sleep(retry_s)
 
 
 def measure_tpu(iters: int = 30) -> dict:
@@ -181,11 +273,20 @@ def measure_tpu(iters: int = 30) -> dict:
         # The backend never completed even a tiny matmul: attempting the
         # real measurement would hang with no output. Report a parseable
         # failure instead.
-        raise RuntimeError(
+        raise TunnelUnusable(
             "device backend stalled — no measurement possible (probe never "
             "completed within the wait budget)"
         )
+    if probe_ms >= 50.0:
+        # Degraded-but-alive (the round-2-end mode): a measurement now would
+        # be orders-of-magnitude off AND would blow the driver's timeout at
+        # seconds-per-dispatch. Same treatment as stalled (VERDICT r2 #1).
+        raise TunnelUnusable(
+            f"tunnel degraded — probe {probe_ms:.0f} ms/matmul after the "
+            "wait budget (healthy ~2 ms); refusing to record garbage"
+        )
 
+    _STATUS["stage"] = "build_host_batches"
     from __graft_entry__ import entry
 
     fn, (variables, y0, u0, v0, hw0) = entry()
@@ -199,6 +300,7 @@ def measure_tpu(iters: int = 30) -> dict:
     )
 
     # Warm compile + one pass over every distinct host buffer.
+    _STATUS["stage"] = "compile_warmup"
     jax.block_until_ready(jfn(variables, y0, u0, v0, hw0))
     for y, u, v, hw in host_batches:
         jax.block_until_ready(jfn(variables, y, u, v, hw))
@@ -220,6 +322,7 @@ def measure_tpu(iters: int = 30) -> dict:
         fake (block_until_ready has been observed to ack at dispatch)."""
         return float(np.asarray(jax.device_get(out[1][:1, :1])).ravel()[0])
 
+    _STATUS["stage"] = "measure"
     # Throughput, two dispatch modes, BOTH reported (VERDICT r1 weak #3 —
     # never silently take the better one):
     # (a) pipelined: enqueue all, block once + terminal host readback of the
@@ -321,25 +424,28 @@ def get_reference_baseline(refresh: bool = False) -> dict:
 
 
 def main() -> int:
+    _install_deadline_watchdog()
     try:
         ours = measure_tpu()
-    except RuntimeError as e:
-        if "stalled" not in str(e):
-            raise
+        _STATUS["ours"] = ours
+    except TunnelUnusable as e:
         # Still emit the ONE JSON line the driver parses — an honest zero
         # with the reason beats a hung process with no output.
-        print(json.dumps({
-            "metric": "centernet_512x512_e2e_images_per_sec_per_chip",
-            "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
-            "error": str(e),
-        }))
+        _emit_line(_failure_payload(str(e)))
         return 0
+    except Exception as e:
+        # Any other crash must also leave a parseable line (the watchdog
+        # only covers hangs, not exceptions).
+        _emit_line(_failure_payload(f"{type(e).__name__}: {e}"))
+        return 0
+    _STATUS["stage"] = "reference_baseline"
     try:
         ref = get_reference_baseline()
         # Like-for-like: the reference number INCLUDES host decode, so the
         # headline ratio uses our decode-inclusive rate; the device-resident
         # ratio (achievable in production via raw-YUV serving shards) is
-        # reported alongside, labeled as such.
+        # reported alongside, labeled as such (value_basis /
+        # vs_baseline_basis make the pairing explicit — ADVICE r2).
         vs = ours["images_per_sec_incl_decode"] / max(ref["images_per_sec"], 1e-9)
         vs_dev = ours["images_per_sec"] / max(ref["images_per_sec"], 1e-9)
     except Exception as e:  # baseline emulation failure must not kill bench
@@ -348,8 +454,10 @@ def main() -> int:
     result = {
         "metric": "centernet_512x512_e2e_images_per_sec_per_chip",
         "value": round(ours["images_per_sec"], 2),
+        "value_basis": "device_resident_pipelined",
         "unit": "images/sec",
         "vs_baseline": round(vs, 2),
+        "vs_baseline_basis": "images_per_sec_incl_decode",
         "p50_latency_ms": round(ours["p50_latency_ms"], 2),
         "p90_latency_ms": round(ours["p90_latency_ms"], 2),
         "images_per_sec_incl_decode": round(ours["images_per_sec_incl_decode"], 2),
@@ -367,7 +475,7 @@ def main() -> int:
               "decode_threads", "host_cores"):
         if k in ours:
             result[k] = ours[k]
-    print(json.dumps(result))
+    _emit_line(result)
     return 0
 
 

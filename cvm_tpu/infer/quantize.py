@@ -11,6 +11,7 @@ already carries what it needs.
 
 from __future__ import annotations
 
+import sys
 from typing import Any, Dict, Tuple
 
 import jax
@@ -187,15 +188,23 @@ def calibrate_activation_scales(
     activations shouldn't cost the whole tensor its resolution.
     """
     records: Dict[str, list] = {}
+    failed: Dict[str, str] = {}
 
     def interceptor(next_fn, args, kwargs, context):
         if isinstance(context.module, nn.Conv) and context.method_name == "__call__":
+            path = _module_path(context)
             try:
                 x = np.abs(np.asarray(jax.device_get(args[0]), np.float32))
                 amax = float(np.percentile(x, percentile))
-                records.setdefault(_module_path(context), []).append(amax)
-            except Exception:
-                pass
+                records.setdefault(path, []).append(amax)
+            except Exception as e:
+                # A conv that fails to record silently serves fp — make
+                # partial calibration visible (once per conv, not per input).
+                if path not in failed:
+                    failed[path] = f"{type(e).__name__}: {e}"
+                    print(f"calibrate_activation_scales: {path} NOT "
+                          f"calibrated ({failed[path]}) — will serve fp",
+                          file=sys.stderr, flush=True)
         return next_fn(*args, **kwargs)
 
     with nn.intercept_methods(interceptor):

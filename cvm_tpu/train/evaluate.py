@@ -47,11 +47,18 @@ class DetectionEvaluator:
         gt_classes: np.ndarray,
         score_threshold: float = 0.01,
         gt_ignore: Optional[np.ndarray] = None,
+        det_area_range: Optional[Tuple[float, float]] = None,
     ) -> None:
         """``gt_ignore``: (G,) bool — COCO ignore semantics: a detection that
         best-matches an ignored GT is dropped from scoring (neither TP nor
-        FP), and ignored GTs don't count toward recall. Used for the
-        size-bucketed AP breakdown."""
+        FP), and ignored GTs don't count toward recall.
+
+        ``det_area_range``: (lo, hi) — COCO dtIg semantics for the
+        size-bucketed breakdown: an UNMATCHED detection whose own box area
+        falls outside the bucket is also dropped (it's a false positive for
+        its own size bucket, not for every bucket). Matched detections are
+        never area-filtered (the match already localises them to a bucket
+        via the GT)."""
         keep = det_scores >= score_threshold
         det_boxes, det_scores, det_classes = det_boxes[keep], det_scores[keep], det_classes[keep]
         if gt_ignore is None:
@@ -69,22 +76,27 @@ class DetectionEvaluator:
             iou = box_iou_matrix(boxes, gtc)
             T = len(self.thresholds)
             matched = np.zeros((T, len(gtc)), bool)
+            det_areas = (np.prod(np.clip(boxes[:, 2:] - boxes[:, :2], 0, None), -1)
+                         if len(boxes) else np.zeros(0))
             for i in range(len(boxes)):
                 tp = np.zeros(T, bool)
                 ignored = np.zeros(T, bool)
                 for t, thr in enumerate(self.thresholds):
-                    if len(gtc) == 0:
-                        continue
-                    # Prefer non-ignored GTs (COCO: match real GTs first).
-                    cand = np.where(~matched[t] & (iou[i] >= thr) & ~ign)[0]
-                    if len(cand):
-                        j = cand[np.argmax(iou[i][cand])]
-                        matched[t, j] = True
-                        tp[t] = True
-                        continue
-                    icand = np.where((iou[i] >= thr) & ign)[0]
-                    if len(icand):
-                        ignored[t] = True  # matched an ignored GT → drop
+                    if len(gtc):
+                        # Prefer non-ignored GTs (COCO: match real GTs first).
+                        cand = np.where(~matched[t] & (iou[i] >= thr) & ~ign)[0]
+                        if len(cand):
+                            j = cand[np.argmax(iou[i][cand])]
+                            matched[t, j] = True
+                            tp[t] = True
+                            continue
+                        icand = np.where((iou[i] >= thr) & ign)[0]
+                        if len(icand):
+                            ignored[t] = True  # matched an ignored GT → drop
+                            continue
+                    if det_area_range is not None and not (
+                            det_area_range[0] <= det_areas[i] < det_area_range[1]):
+                        ignored[t] = True  # unmatched + out-of-bucket → dtIg
                 self._dets[c].append((float(scores[i]), tp, ignored))
 
     def compute(self, per_class: bool = False) -> Dict[str, float]:
@@ -343,6 +355,7 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
                         bucket_evals[name].add_image(
                             out["boxes"][i], out["scores"][i], out["classes"][i],
                             gt_b, gt_c, gt_ignore=~in_bucket,
+                            det_area_range=(lo, hi),
                         )
                 if det3d_eval is not None and "centers3d" in out and "loc3d" in batch:
                     det3d_eval.add_image(

@@ -55,3 +55,43 @@ def test_resume_continues_training(tmp_path):
     m = t2.fit(it, 2)
     assert int(t2.state.step) == 5
     assert np.isfinite(m["loss"])
+
+
+def test_ema_flag_flip_across_checkpoints(tmp_path):
+    """Flipping ema_decay on an existing workdir must not crash the restore
+    (ADVICE r2): a missing EMA shadow is seeded from the restored params; a
+    stale one is dropped."""
+    spec = get_model("semseg")
+    base = dict(
+        input_hw=(32, 32), num_classes=3, backbone="tiny", decoder_features=16,
+        class_weights=(1.0, 1.0, 1.0), warmup_steps=2, total_steps=100,
+    )
+    ckdir = str(tmp_path / "ck")
+
+    # Train WITHOUT EMA, checkpoint at step 2.
+    p0 = spec.params_cls(**base)
+    t0 = Trainer(spec, p0, checkpoint_dir=ckdir, checkpoint_every=2, log_every=1)
+    it = synthetic_iterator(0, 8, (48, 48), num_classes=3)
+    t0.init_state(next(it))
+    t0.fit(it, 2)
+    t0.ckpt.wait()
+
+    # Enable EMA on the same workdir: restore succeeds, shadow == params.
+    p1 = spec.params_cls(**base, ema_decay=0.9)
+    t1 = Trainer(spec, p1, checkpoint_dir=ckdir, checkpoint_every=100, log_every=1)
+    t1.init_state(next(it))
+    assert int(t1.state.step) == 2
+    pa = jax.tree.leaves(t1.state.params)[0]
+    ea = jax.tree.leaves(t1.state.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(ea))
+    t1.fit(it, 2)
+    t1.ckpt.save(int(t1.state.step), t1.state)
+    t1.ckpt.wait()
+
+    # Disable EMA again: the stale shadow is dropped, training continues.
+    t2 = Trainer(spec, p0, checkpoint_dir=ckdir, checkpoint_every=100, log_every=1)
+    t2.init_state(next(it))
+    assert int(t2.state.step) == 4
+    assert t2.state.ema_params == {}
+    m = t2.fit(it, 1)
+    assert np.isfinite(m["loss"])

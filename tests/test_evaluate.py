@@ -214,3 +214,51 @@ def test_evaluate_model_size_buckets():
     m = evaluate_model(spec, p, variables, batches, size_buckets=True)
     for k in ("mAP_small", "mAP_medium", "mAP_large"):
         assert k in m and np.isfinite(m[k])
+
+
+def test_size_bucketed_ap_det_area_ignore():
+    """COCO dtIg: an UNMATCHED detection whose own area is outside the bucket
+    is ignored for that bucket (it is an FP only in its own size bucket)."""
+    large_gt = np.array([[100, 100, 300, 300]], np.float32)  # area 40000
+    gtc = np.zeros(1, int)
+    dets = np.array([[100, 100, 300, 300],   # perfect large match
+                     [0, 0, 10, 10]], np.float32)  # pure small FP (no GT)
+    scores = np.array([0.9, 0.95])  # FP scores HIGHER → would gate precision
+    detc = np.zeros(2, int)
+
+    # Large bucket WITHOUT det-area filtering: the small FP outranks the TP
+    # and drags AP down.
+    ev = DetectionEvaluator(num_classes=1, iou_thresholds=[0.5])
+    ev.add_image(dets, scores, detc, large_gt, gtc,
+                 gt_ignore=np.array([False]))
+    assert ev.compute()["mAP50"] < 1.0
+
+    # With COCO dtIg semantics the out-of-bucket unmatched det is dropped.
+    ev2 = DetectionEvaluator(num_classes=1, iou_thresholds=[0.5])
+    ev2.add_image(dets, scores, detc, large_gt, gtc,
+                  gt_ignore=np.array([False]),
+                  det_area_range=(96.0**2, float("inf")))
+    assert ev2.compute()["mAP50"] == pytest.approx(1.0, abs=1e-6)
+
+    # And in ITS OWN bucket (small) it still counts as a false positive:
+    # no GT at all for the bucket → mAP keys absent (nan-guarded), so use a
+    # small GT to anchor recall.
+    small_gt = np.array([[0, 0, 12, 12]], np.float32)
+    ev3 = DetectionEvaluator(num_classes=1, iou_thresholds=[0.5])
+    ev3.add_image(dets, scores, detc,
+                  np.concatenate([small_gt, large_gt]), np.zeros(2, int),
+                  gt_ignore=np.array([False, True]),
+                  det_area_range=(0.0, 32.0**2))
+    m3 = ev3.compute()
+    # det[1] (area 100, in-bucket) IoU vs small_gt ≈ 0.69 → TP; det[0] is
+    # unmatched-large → ignored; AP stays 1. Shrink the small GT so the det
+    # misses it and becomes a real in-bucket FP:
+    ev4 = DetectionEvaluator(num_classes=1, iou_thresholds=[0.5])
+    ev4.add_image(dets, scores, detc,
+                  np.concatenate([np.array([[40, 40, 52, 52]], np.float32),
+                                  large_gt]), np.zeros(2, int),
+                  gt_ignore=np.array([False, True]),
+                  det_area_range=(0.0, 32.0**2))
+    m4 = ev4.compute()
+    assert m3["mAP50"] == pytest.approx(1.0, abs=1e-6)
+    assert m4["mAP50"] < 1.0  # in-bucket unmatched det remains an FP

@@ -122,3 +122,36 @@ def test_kill_mid_async_save_then_resume(tmp_path):
     import numpy as np
 
     assert np.isfinite(m["loss"])
+
+
+def test_device_hang_auto_restart(tmp_path):
+    """The stall watchdog must RECOVER from a hung device, not just warn.
+
+    tests/hang_child.py blocks forever inside a train step on its first run
+    (the observed backend failure mode); the Trainer was constructed with
+    restart_argv, so the watchdog re-execs the child, which resumes from the
+    latest checkpoint and finishes all steps (VERDICT r2 next-round #7).
+    """
+    child = os.path.join(_REPO, "tests", "hang_child.py")
+    ckdir = str(tmp_path / "ck")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["CVM_STALL_THRESHOLD_S"] = "15"  # trip fast in CI, but above step time
+    env.pop("CVM_RESTART_COUNT", None)
+    # Don't inherit conftest's 8-virtual-device flag: on one CPU core it
+    # makes a legitimate step slow enough to false-trip the short threshold.
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, child, ckdir, "8"],
+        capture_output=True, text=True, env=env, cwd=_REPO, timeout=300,
+    )
+    out, err = proc.stdout, proc.stderr
+    assert "HANGING" in out, f"fake hang never armed:\n{out}\n{err}"
+    assert "AUTO-RESTART 1/" in err, f"watchdog did not re-exec:\n{err}"
+    # One process object, TWO process images: exec preserves the pid, so the
+    # captured stdout contains both runs' lines.
+    resumes = [int(l.split()[1]) for l in out.splitlines() if l.startswith("RESUMED")]
+    assert len(resumes) == 2 and resumes[0] == 0 and resumes[1] >= 1, resumes
+    assert proc.returncode == 0
+    done = [int(l.split()[1]) for l in out.splitlines() if l.startswith("DONE")]
+    assert done and done[-1] == 8, f"training did not reach 8 steps: {out}"
