@@ -34,7 +34,25 @@ def main(argv=None):
         "--debug_nans", action="store_true",
         help="enable jax NaN checking (SURVEY.md §5 sanitizer mode)",
     )
+    parser.add_argument(
+        "--coordinator", default=None,
+        help="multi-process training: coordinator host:port — launch one "
+             "process per host with identical args plus --process_id; "
+             "requires --num_processes (SURVEY.md §5 comm backend)",
+    )
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args, overrides = parser.parse_known_args(argv)
+
+    if args.coordinator is not None:
+        # DCN side of the comm backend: one controller per host, global mesh
+        # over every host's devices, GSPMD collectives ride ICI within a host
+        # and DCN across. Must run before any other jax API touches devices.
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from cvm_tpu.utils.platform import apply_platform_env
 
@@ -58,23 +76,34 @@ def main(argv=None):
     else:
         pad_hw = (int(cfg.input_hw[0] * 1.5), int(cfg.input_hw[1] * 1.5))
 
+    # Checkpoint saves are collective (every process participates; Orbax
+    # coordinates the write), but scalar logs are host files — process 0 only.
+    is_proc0 = jax.process_index() == 0
     trainer = Trainer(
         spec,
         cfg,
         checkpoint_dir=f"{args.workdir}/checkpoints",
-        metrics_path=f"{args.workdir}/metrics.jsonl",
-        tensorboard_dir=f"{args.workdir}/tb" if args.tensorboard else None,
+        metrics_path=f"{args.workdir}/metrics.jsonl" if is_proc0 else None,
+        tensorboard_dir=f"{args.workdir}/tb" if (args.tensorboard and is_proc0) else None,
         checkpoint_every=args.checkpoint_every,
         log_every=args.log_every,
         seed=args.seed,
     )
+
+    # cfg.batch_size is the GLOBAL batch; each process hosts its own slice
+    # (assembled into the global array by parallel.mesh.global_put).
+    if cfg.batch_size % jax.process_count():
+        parser.error(f"batch_size {cfg.batch_size} not divisible by "
+                     f"{jax.process_count()} processes")
+    local_bs = cfg.batch_size // jax.process_count()
 
     if args.data == "synthetic":
         from cvm_tpu.data.synthetic import synthetic_iterator
 
         nc = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 3))
         it = synthetic_iterator(
-            args.seed, cfg.batch_size, pad_hw, num_classes=min(nc, 10),
+            args.seed + jax.process_index() * 7919, local_bs, pad_hw,
+            num_classes=min(nc, 10),
             two_frame=(args.model == "dmds"),
             with_3d=getattr(cfg, "with_3d", False),
         )
@@ -98,7 +127,7 @@ def main(argv=None):
 
             target_hw = parse_hw(args.decode_target, "--decode_target")
         loader = RecordLoader(
-            ds, cfg.batch_size, pad_hw, ids=train_ids,
+            ds, local_bs, pad_hw, ids=train_ids,
             max_objects=getattr(cfg, "max_objects", 128), seed=args.seed,
             target_hw=target_hw,
         )
@@ -138,6 +167,13 @@ def main(argv=None):
         return m
 
     nc = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 3))
+    if args.eval_every > 0 and jax.process_count() > 1:
+        # evaluate_model jits its own per-host program; running it inside a
+        # multi-controller job would deadlock the global-mesh collectives.
+        # Evaluate post-hoc from a checkpoint (cli.evaluate) instead.
+        print("[cvm_tpu] --eval_every disabled under multi-process training; "
+              "run cli.evaluate on a checkpoint", file=sys.stderr, flush=True)
+        args.eval_every = 0
     if args.eval_every > 0:
         remaining = args.steps
         metrics = {}

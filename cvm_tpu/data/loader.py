@@ -443,13 +443,13 @@ def prefetch_to_device(iterator, sharding, depth: int = 2):
     """
     import collections
 
-    import jax
+    from cvm_tpu.parallel.mesh import global_put
 
     buf = collections.deque()
     it = iter(iterator)
 
     def put(x):
-        return jax.tree.map(lambda a: jax.device_put(a, sharding), x)
+        return global_put(x, sharding)
 
     try:
         for _ in range(depth):

@@ -54,7 +54,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_put(tree, sharding: NamedSharding):
+    """Transfer a host pytree onto a (possibly multi-process) global sharding.
+
+    Single-process: plain ``device_put``. Multi-process (after
+    ``jax.distributed.initialize``): each process holds only its LOCAL slice
+    of the batch axis (``split_ids(process_index, process_count)`` feeds each
+    host a distinct stride), so the global array must be assembled from
+    process-local shards — ``make_array_from_process_local_data`` — while
+    replicated leaves (identical on every host) still go through
+    ``device_put``, which JAX supports natively for fully-replicated specs.
+    """
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        if not sharding.spec or all(p is None for p in sharding.spec):
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(put, tree)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch pytree with the batch axis sharded on "data"."""
-    s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return global_put(batch, batch_sharding(mesh))

@@ -255,7 +255,7 @@ class Trainer:
         """
         channels = 6 if self.spec.name == "dmds" else 3
         sample = jnp.zeros((1, *self.cfg.input_hw, channels), jnp.float32)
-        with jax.default_device(jax.devices()[0]):
+        with jax.default_device(jax.local_devices()[0]):
             # The seed must reach weight init too — otherwise every "seed"
             # trains from byte-identical initial weights and only the
             # augmentation stream differs.
@@ -266,6 +266,14 @@ class Trainer:
         if self.tp_rules:
             self._state_sh = self._tp_state_shardings(state)
             self.train_step = self._jit_step(self._state_sh)
+        if jax.process_count() > 1:
+            # Multi-controller: a COMMITTED single-device array cannot be
+            # device_put across hosts. Every process just computed the same
+            # init (same seed), so round-trip through host memory and let
+            # each controller place its addressable shards (init-time only).
+            import numpy as _np
+
+            state = jax.tree.map(_np.asarray, state)
         state = jax.device_put(state, self._state_sh)
         if self.ckpt is not None:
             restored = self._restore_compatible(state)
