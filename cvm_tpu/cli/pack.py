@@ -34,7 +34,7 @@ def main(argv=None):
             # Each adapter names its selector differently; forwarding the
             # wrong kwarg is a TypeError deep in the adapter.
             split_kw = {"nuimages": "version", "nuscenes": "version",
-                        "comma10k": None}.get(args.dataset, "split")
+                        "comma10k": None, "kitti_raw": None}.get(args.dataset, "split")
             if split_kw is None:
                 parser.error(f"--split is not supported for {args.dataset}")
             kwargs[split_kw] = args.split

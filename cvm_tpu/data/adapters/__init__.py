@@ -10,7 +10,9 @@ Each adapter exposes ``pack(src_dir, out_path, ...)`` and is wired into
 from cvm_tpu.data.adapters.coco import pack_coco  # noqa: F401
 from cvm_tpu.data.adapters.kitti import (  # noqa: F401
     pack_kitti_depth,
+    pack_kitti_multitask,
     pack_kitti_object,
+    pack_kitti_raw,
     pack_kitti_semseg,
 )
 from cvm_tpu.data.adapters.comma10k import pack_comma10k  # noqa: F401
@@ -21,6 +23,8 @@ ADAPTERS = {
     "coco": pack_coco,
     "kitti": pack_kitti_object,
     "kitti_depth": pack_kitti_depth,
+    "kitti_multitask": pack_kitti_multitask,
+    "kitti_raw": pack_kitti_raw,
     "kitti_semseg": pack_kitti_semseg,
     "comma10k": pack_comma10k,
     "nuimages": pack_nuimages,

@@ -163,6 +163,122 @@ def pack_kitti_semseg(
     return {"written": n, "num_classes": len(KITTI_SEMSEG_CLASSES)}
 
 
+def pack_kitti_multitask(
+    src_dir: str,
+    out_path: str,
+    split: str = "training",
+    max_images: Optional[int] = None,
+) -> Dict[str, int]:
+    """Fused KITTI export → one record per frame with EVERY modality:
+    jpeg + boxes/classes (+3D when label_2 carries it) + Cityscapes-trainId
+    mask + uint16 depth + intrinsics. Feeds the joint multitask heads
+    (SURVEY.md §2 "Multitask model", BASELINE config D) from
+    <split>/{image_2, label_2, calib, semantic, proj_depth}."""
+    from PIL import Image
+
+    dirs = {d: os.path.join(src_dir, split, d)
+            for d in ("image_2", "label_2", "calib", "semantic", "proj_depth")}
+    frames = sorted(
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(dirs["image_2"], "*.png"))
+    )
+    lut = np.full(256, 255, np.uint8)
+    for k, v in _CITYSCAPES_ID_TO_TRAIN.items():
+        lut[k] = v
+    n = 0
+    with RecordWriter(out_path) as w:
+        for fid in frames:
+            if max_images is not None and n >= max_images:
+                break
+            spath = os.path.join(dirs["semantic"], f"{fid}.png")
+            dpath = os.path.join(dirs["proj_depth"], f"{fid}.png")
+            if not (os.path.exists(spath) and os.path.exists(dpath)):
+                continue
+            jpeg, h, wd = read_image_as_jpeg(os.path.join(dirs["image_2"], f"{fid}.png"))
+            lbl = os.path.join(dirs["label_2"], f"{fid}.txt")
+            objs = _parse_label_file(lbl) if os.path.exists(lbl) else []
+            meta = {
+                "id": fid,
+                "height": h,
+                "width": wd,
+                "boxes": [o["bbox"] for o in objs],
+                "classes": [o["cls"] for o in objs],
+                "dims3d": [o["dims"] for o in objs],
+                "loc3d": [o["loc"] for o in objs],
+                "rot_y": [o["rot_y"] for o in objs],
+            }
+            intr = _parse_calib_p2(os.path.join(dirs["calib"], f"{fid}.txt"))
+            if intr is not None:
+                meta["intrinsics"] = intr
+            sem = np.asarray(Image.open(spath))
+            if sem.ndim == 3:
+                sem = sem[..., 0]
+            w.write(meta, {
+                "jpeg": jpeg,
+                "mask": lut[sem],
+                "depth": load_png_u16(dpath).astype(np.uint16),
+            })
+            n += 1
+    with open(out_path + ".meta.json", "w") as f:
+        json.dump({"det_classes": list(KITTI_CLASSES),
+                   "seg_classes": list(KITTI_SEMSEG_CLASSES),
+                   "num_records": n}, f)
+    return {"written": n}
+
+
+def _parse_calib_cam_to_cam(path: str) -> Optional[List[float]]:
+    """P_rect_02 from a KITTI raw date-level calib_cam_to_cam.txt."""
+    try:
+        with open(path) as f:
+            for line in f:
+                if line.startswith("P_rect_02:"):
+                    v = [float(x) for x in line.split()[1:]]
+                    return [v[0], v[5], v[2], v[6]]
+    except OSError:
+        return None
+    return None
+
+
+def pack_kitti_raw(
+    src_dir: str,
+    out_path: str,
+    max_images: Optional[int] = None,
+    frame_stride: int = 1,
+) -> Dict[str, int]:
+    """KITTI raw drives → consecutive two-frame records for DMDS.
+
+    src_dir: raw root with <date>/<drive>_sync/image_02/data/*.png and
+    <date>/calib_cam_to_cam.txt. Each record carries frame t (jpeg), frame
+    t+stride (jpeg_t1) and [fx, fy, cx, cy] — everything the two-frame
+    unsupervised pipeline needs (SURVEY.md §3.4, BASELINE config E). Pairs
+    never cross a drive boundary (no fake motion between unrelated scenes).
+    """
+    drive_dirs = sorted(
+        d for d in glob.glob(os.path.join(src_dir, "*", "*", "image_02", "data"))
+        if os.path.isdir(d)
+    )
+    n = 0
+    with RecordWriter(out_path) as w:
+        for ddir in drive_dirs:
+            if max_images is not None and n >= max_images:
+                break
+            date_dir = os.path.dirname(os.path.dirname(os.path.dirname(ddir)))
+            intr = _parse_calib_cam_to_cam(
+                os.path.join(date_dir, "calib_cam_to_cam.txt"))
+            frames = sorted(glob.glob(os.path.join(ddir, "*.png")))
+            for a, b in zip(frames, frames[frame_stride:]):
+                if max_images is not None and n >= max_images:
+                    break
+                jpeg, h, wd = read_image_as_jpeg(a)
+                jpeg1, _, _ = read_image_as_jpeg(b)
+                meta = {"id": os.path.relpath(a, src_dir), "height": h, "width": wd}
+                if intr is not None:
+                    meta["intrinsics"] = intr
+                w.write(meta, {"jpeg": jpeg, "jpeg_t1": jpeg1})
+                n += 1
+    return {"written": n, "drives": len(drive_dirs)}
+
+
 def pack_kitti_depth(
     image_dir: str,
     depth_dir: str,

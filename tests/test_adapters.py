@@ -230,3 +230,77 @@ def test_pack_nuscenes_drops_behind_camera(tmp_path, rng):
     assert stats["written"] == 1
     meta, _ = RecordReader(out).get(0)
     assert meta["boxes"] == [] and "loc3d" not in meta
+
+
+def test_pack_kitti_multitask(tmp_path, rng):
+    from cvm_tpu.data.adapters import pack_kitti_multitask
+
+    root = tmp_path / "kmt"
+    for fid in ("000000", "000001"):
+        _save(str(root / "training" / "image_2" / f"{fid}.png"),
+              rng.integers(0, 255, (30, 90, 3), dtype=np.uint8))
+        os.makedirs(root / "training" / "label_2", exist_ok=True)
+        with open(root / "training" / "label_2" / f"{fid}.txt", "w") as f:
+            f.write("Car 0.0 0 -1.5 10.0 5.0 50.0 25.0 1.5 1.6 3.8 2.0 1.5 20.0 -1.2\n")
+        os.makedirs(root / "training" / "calib", exist_ok=True)
+        with open(root / "training" / "calib" / f"{fid}.txt", "w") as f:
+            f.write("P2: 700.0 0.0 600.0 0.0 0.0 700.0 180.0 0.0 0.0 0.0 1.0 0.0\n")
+        sem = np.full((30, 90), 7, np.uint8)   # road -> train id 0
+        sem[5:15, 10:50] = 26                  # car -> train id 13
+        _save(str(root / "training" / "semantic" / f"{fid}.png"), sem)
+        d16 = np.full((30, 90), 20 * 256, np.uint16)  # 20 m everywhere
+        _save(str(root / "training" / "proj_depth" / f"{fid}.png"), d16)
+
+    out = str(tmp_path / "kmt.cvrec")
+    stats = pack_kitti_multitask(str(root), out)
+    assert stats == {"written": 2}
+    meta, blobs = RecordReader(out).get(0)
+    # One record carries EVERY modality, mutually consistent.
+    assert meta["classes"] == [KITTI_CLASSES.index("Car")]
+    assert meta["boxes"] == [[10.0, 5.0, 50.0, 25.0]]
+    assert meta["loc3d"] == [[2.0, 1.5, 20.0]]
+    assert meta["intrinsics"] == [700.0, 700.0, 600.0, 180.0]
+    m = blobs["mask"]
+    assert m[0, 0] == 0 and m[10, 20] == 13
+    assert blobs["depth"].dtype == np.uint16
+    assert int(blobs["depth"][0, 0]) == 20 * 256
+
+
+def test_pack_kitti_raw_two_frame_pairs(tmp_path, rng):
+    from cvm_tpu.data.adapters import pack_kitti_raw
+
+    root = tmp_path / "kraw"
+    date = root / "2011_09_26"
+    os.makedirs(date, exist_ok=True)
+    with open(date / "calib_cam_to_cam.txt", "w") as f:
+        f.write("P_rect_02: 700.0 0.0 600.0 0.0 0.0 700.0 180.0 0.0 "
+                "0.0 0.0 1.0 0.0\n")
+    frames = {}
+    for drive in ("2011_09_26_drive_0001_sync", "2011_09_26_drive_0002_sync"):
+        for t in range(3):
+            img = rng.integers(0, 255, (24, 64, 3), dtype=np.uint8)
+            frames[(drive, t)] = img
+            _save(str(date / drive / "image_02" / "data" / f"{t:010d}.png"), img)
+
+    out = str(tmp_path / "kraw.cvrec")
+    stats = pack_kitti_raw(str(root), out)
+    # 3 frames per drive -> 2 consecutive pairs per drive; never across drives.
+    assert stats == {"written": 4, "drives": 2}
+    r = RecordReader(out)
+    ids = [r.get(i)[0]["id"] for i in range(4)]
+    assert all("drive_0001" in i for i in ids[:2])
+    assert all("drive_0002" in i for i in ids[2:])
+    meta, blobs = r.get(0)
+    assert "jpeg" in blobs and "jpeg_t1" in blobs
+    assert meta["intrinsics"] == [700.0, 700.0, 600.0, 180.0]
+    # The pair really is (t, t+1): decode both jpegs and match the sources.
+    import io
+
+    a = np.asarray(Image.open(io.BytesIO(bytes(blobs["jpeg"]))))
+    b = np.asarray(Image.open(io.BytesIO(bytes(blobs["jpeg_t1"]))))
+    d0 = (frames[("2011_09_26_drive_0001_sync", 0)], frames[("2011_09_26_drive_0001_sync", 1)])
+    # JPEG is lossy: compare against the intended source frames by proximity.
+    assert np.abs(a.astype(int) - d0[0].astype(int)).mean() < \
+        np.abs(a.astype(int) - d0[1].astype(int)).mean()
+    assert np.abs(b.astype(int) - d0[1].astype(int)).mean() < \
+        np.abs(b.astype(int) - d0[0].astype(int)).mean()
