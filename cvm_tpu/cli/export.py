@@ -19,7 +19,7 @@ import numpy as np
 
 def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
                  batch_size: int = 1, pad_hw=None, quantize: str = "none",
-                 input_format: str = "rgb") -> dict:
+                 input_format: str = "rgb", fold_bn: bool = False) -> dict:
     from cvm_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
@@ -74,7 +74,12 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
         )
 
     pipe = InferencePipeline(spec, cfg, variables, input_format=input_format,
-                             w8a8=w8a8_scales if w8a8_scales else False)
+                             w8a8=w8a8_scales if w8a8_scales else False,
+                             fold_bn=fold_bn)
+    # With fold_bn the traced program expects the FOLDED kernels (the BN
+    # normalize is gone; its residual bias is a program constant) — the
+    # artifact must ship the pipeline's variables, not the checkpoint's.
+    variables = jax.device_get(pipe._variables)
 
     hw = jnp.ones((batch_size, 2), jnp.int32)
     if input_format == "yuv420":
@@ -125,12 +130,12 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
         # SURVEY.md §3.5).
         from cvm_tpu.infer.quantize import quantization_error, quantize_params
 
-        qparams, qstats = quantize_params(trainer.eval_params)
-        qstats["max_rel_error"] = quantization_error(trainer.eval_params, qparams)
+        qparams, qstats = quantize_params(variables["params"])
+        qstats["max_rel_error"] = quantization_error(variables["params"], qparams)
         _flatten("params", qparams)
     else:
-        _flatten("params", jax.device_get(trainer.eval_params))
-    _flatten("batch_stats", jax.device_get(trainer.state.batch_stats))
+        _flatten("params", variables["params"])
+    _flatten("batch_stats", variables["batch_stats"])
     np.savez(os.path.join(out_dir, "weights.npz"), **flat)
     meta = {
         "model": spec_name,
@@ -138,6 +143,7 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
         "batch_size": batch_size,
         "pad_hw": list(pad_hw),
         "quantize": quantize,
+        "fold_bn": fold_bn,
     }
     with open(os.path.join(out_dir, "artifact.json"), "w") as f:
         json.dump(meta, f)
@@ -164,10 +170,13 @@ def main(argv=None):
                              "(calibrated static activation scales)")
     parser.add_argument("--input_format", choices=["rgb", "yuv420"], default="rgb",
                         help="yuv420 exports the bandwidth-optimal serving path")
+    parser.add_argument("--fold_bn", action="store_true",
+                        help="fold BatchNorm scales into conv kernels at "
+                             "export (BN shrinks to a fused bias add)")
     args = parser.parse_args(argv)
     stats = export_model(args.model, args.checkpoint_dir, args.out,
                          args.batch_size, quantize=args.quantize,
-                         input_format=args.input_format)
+                         input_format=args.input_format, fold_bn=args.fold_bn)
     print(json.dumps(stats))
     return 0
 

@@ -78,6 +78,7 @@ class InferencePipeline:
         mesh=None,
         input_format: str = "rgb",
         w8a8: bool = False,
+        fold_bn: bool = False,
     ):
         self.spec = spec
         self.cfg = params_cfg
@@ -90,6 +91,19 @@ class InferencePipeline:
         is_dmds = spec.name == "dmds"
 
         base_apply = self.model.apply
+        if fold_bn:
+            # Export-time conv+BN fusion (infer/fold_bn.py): kernels carry
+            # the BN scale, each BN runs as a fused bias add. Composes with
+            # w8a8 below — the quantizer then sees the FOLDED kernels.
+            from cvm_tpu.infer.fold_bn import bn_folded_inference, fold_batchnorm
+
+            self._variables, bias_table = fold_batchnorm(variables)
+            variables = self._variables
+            unfolded_apply = base_apply
+
+            def base_apply(*a, **kw):
+                with bn_folded_inference(bias_table):
+                    return unfolded_apply(*a, **kw)
         if isinstance(w8a8, dict) and not w8a8:
             raise ValueError(
                 "w8a8 scales dict is empty — calibration produced no "

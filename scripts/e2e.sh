@@ -60,4 +60,79 @@ python -m cvm_tpu.cli.export --model semseg \
 python scripts/check_e2e.py --workdir "$WORK/seg" --artifact "$WORK/seg_artifact" \
   --data "$WORK/ksem.cvrec" --metric val_miou --min "${E2E_MIN_MIOU:-0.50}" --pad_hw 96,96
 
+echo "== leg 3: depth (KITTI proj_depth -> pack -> train -> export -> serve) =="
+STEPS_DEPTH="${E2E_STEPS_DEPTH:-300}"
+python scripts/gen_dataset.py --format kitti_depth --out "$WORK/kdep" --images "$IMAGES" --hw 96,96
+python -m cvm_tpu.cli.pack --dataset kitti_depth --src "$WORK/kdep/images" \
+  --depth_dir "$WORK/kdep/proj_depth" --out "$WORK/kdep.cvrec"
+python -m cvm_tpu.cli.train --model depth --data "$WORK/kdep.cvrec" \
+  --steps "$STEPS_DEPTH" --eval_every "$STEPS_DEPTH" --eval_batches 6 \
+  --workdir "$WORK/dep" --pad_hw 96,96 --log_every 100 --checkpoint_every "$STEPS_DEPTH" \
+  --input_hw "[64,64]" --backbone tiny --decoder_features 16 --num_scales 2 \
+  --max_depth 45 --min_depth 1 --batch_size 8 \
+  --learning_rate 0.001 --warmup_steps 20 --total_steps "$STEPS_DEPTH"
+python -m cvm_tpu.cli.export --model depth \
+  --checkpoint_dir "$WORK/dep/checkpoints" --out "$WORK/dep_artifact" --batch_size 4
+python scripts/check_e2e.py --workdir "$WORK/dep" --artifact "$WORK/dep_artifact" \
+  --data "$WORK/kdep.cvrec" --metric val_delta1 --min "${E2E_MIN_DELTA1:-0.50}" --pad_hw 96,96
+
+echo "== leg 4: multitask (fused KITTI -> pack -> train -> export -> serve; joint gates) =="
+STEPS_MT="${E2E_STEPS_MT:-400}"
+python scripts/gen_dataset.py --format kitti_multitask --out "$WORK/kmt" --images "$IMAGES" --hw 96,96
+python -m cvm_tpu.cli.pack --dataset kitti_multitask --src "$WORK/kmt" --out "$WORK/kmt.cvrec"
+python -m cvm_tpu.cli.train --model multitask --data "$WORK/kmt.cvrec" \
+  --steps "$STEPS_MT" --eval_every "$STEPS_MT" --eval_batches 6 \
+  --workdir "$WORK/mt" --pad_hw 96,96 --log_every 100 --checkpoint_every "$STEPS_MT" \
+  --input_hw "[64,64]" --backbone tiny --neck_features 32 --head_features 16 \
+  --num_det_classes 7 --max_objects 8 --top_k 20 \
+  --num_seg_classes 19 --class_weights "[1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1]" \
+  --max_depth 45 --min_depth 1 --batch_size 8 \
+  --learning_rate 0.001 --warmup_steps 20 --total_steps "$STEPS_MT"
+python -m cvm_tpu.cli.export --model multitask \
+  --checkpoint_dir "$WORK/mt/checkpoints" --out "$WORK/mt_artifact" --batch_size 4
+# Joint gates: every head must have learned (VERDICT r2 #5 "joint gates").
+python scripts/check_e2e.py --workdir "$WORK/mt" --artifact "$WORK/mt_artifact" \
+  --data "$WORK/kmt.cvrec" --metric val_mAP --min "${E2E_MIN_MT_MAP:-0.20}" --pad_hw 96,96
+python scripts/check_e2e.py --workdir "$WORK/mt" --artifact "$WORK/mt_artifact" \
+  --data "$WORK/kmt.cvrec" --metric val_miou --min "${E2E_MIN_MT_MIOU:-0.40}" --pad_hw 96,96
+python scripts/check_e2e.py --workdir "$WORK/mt" --artifact "$WORK/mt_artifact" \
+  --data "$WORK/kmt.cvrec" --metric val_delta1 --min "${E2E_MIN_MT_DELTA1:-0.45}" --pad_hw 96,96
+
+echo "== leg 5: dmds (KITTI raw drives -> pack two-frame -> train -> export -> serve) =="
+STEPS_DMDS="${E2E_STEPS_DMDS:-250}"
+python scripts/gen_dataset.py --format kitti_raw --out "$WORK/kraw" --images "$IMAGES" --hw 96,96
+python -m cvm_tpu.cli.pack --dataset kitti_raw --src "$WORK/kraw" --out "$WORK/kraw.cvrec"
+python -m cvm_tpu.cli.train --model dmds --data "$WORK/kraw.cvrec" \
+  --steps "$STEPS_DMDS" --workdir "$WORK/dmds" --pad_hw 96,96 \
+  --log_every 10 --checkpoint_every "$STEPS_DMDS" \
+  --input_hw "[64,64]" --backbone tiny --decoder_features 16 --motion_features 32 \
+  --max_depth 45 --min_depth 1 --batch_size 8 \
+  --learning_rate 0.0005 --warmup_steps 20 --total_steps "$STEPS_DMDS"
+python -m cvm_tpu.cli.export --model dmds \
+  --checkpoint_dir "$WORK/dmds/checkpoints" --out "$WORK/dmds_artifact" --batch_size 4
+# Unsupervised: gate on measured photometric improvement over training.
+python scripts/check_e2e.py --workdir "$WORK/dmds" --artifact "$WORK/dmds_artifact" \
+  --data "$WORK/kraw.cvrec" --metric loss_photo --improve "${E2E_DMDS_IMPROVE:-0.10}" --pad_hw 96,96
+
+echo "== leg 6: KITTI 3D (label_2+calib -> pack -> train with_3d -> export -> serve; 3D gate) =="
+STEPS_3D="${E2E_STEPS_3D:-400}"
+python scripts/gen_dataset.py --format kitti_object --out "$WORK/k3d" --images "$IMAGES" --hw 96,96
+python -m cvm_tpu.cli.pack --dataset kitti --src "$WORK/k3d" --out "$WORK/k3d.cvrec"
+python -m cvm_tpu.cli.train --model centernet --data "$WORK/k3d.cvrec" \
+  --steps "$STEPS_3D" --eval_every "$STEPS_3D" --eval_batches 6 \
+  --workdir "$WORK/det3d" --pad_hw 96,96 --log_every 100 --checkpoint_every "$STEPS_3D" \
+  --input_hw "[64,64]" --num_classes 7 --with_3d true --max_objects 8 --backbone tiny \
+  --neck_features 32 --head_features 16 --batch_size 8 --top_k 20 \
+  --learning_rate 0.001 --warmup_steps 20 --total_steps "$STEPS_3D"
+python -m cvm_tpu.cli.export --model centernet \
+  --checkpoint_dir "$WORK/det3d/checkpoints" --out "$WORK/det3d_artifact" --batch_size 4
+# matched_3d_frac first: center_err over ZERO matches is a vacuous 0.0 —
+# require detections to actually match GT before trusting the error gate.
+python scripts/check_e2e.py --workdir "$WORK/det3d" --artifact "$WORK/det3d_artifact" \
+  --data "$WORK/k3d.cvrec" --metric val_matched_3d_frac --min "${E2E_MIN_MATCH3D:-0.5}" --pad_hw 96,96
+python scripts/check_e2e.py --workdir "$WORK/det3d" --artifact "$WORK/det3d_artifact" \
+  --data "$WORK/k3d.cvrec" --metric val_mAP --min "${E2E_MIN_MAP3D:-0.25}" --pad_hw 96,96
+python scripts/check_e2e.py --workdir "$WORK/det3d" --artifact "$WORK/det3d_artifact" \
+  --data "$WORK/k3d.cvrec" --metric val_center_err_3d_m --max "${E2E_MAX_CENTER3D:-6.0}" --pad_hw 96,96
+
 echo "[e2e] ALL LEGS OK"
