@@ -1,11 +1,14 @@
-"""Measure the W8A8 int8 serving path vs bf16 on the real chip.
+"""Serving-variant ablation on the real chip: bf16 / BN-fold / W8A8.
 
 Round-1 parked W8A8 after measuring int8 convs 25x slower than bf16; the
 round-2 relay-robust probe (int8_probe.py) shows int8 convs at ~1.15x and
 int8 matmuls at ~1.28x bf16 throughput on this backend — so re-measure the
 actual CenterNet forward under the w8a8 interceptor (infer/quantize.py)
 with the relay-robust harness and decide whether the int8 path graduates
-from opt-in.
+from opt-in (VERDICT r2 #3). The same run ablates export-time BN folding
+(infer/fold_bn.py) and its composition with W8A8, and reports XLA
+cost-analysis FLOPs + bytes-accessed per variant — the evidence DESIGN.md
+§9's MFU-gap attack needs (VERDICT r2 #4).
 
 Usage: PYTHONPATH=/root/repo python benchmarks/w8a8_bench.py
 """
@@ -23,12 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from benchmarks.profile_e2e import _time_fn  # relay-robust pipelined timer
 
 
-def main(batch_size: int = 8, iters: int = 20) -> int:
+def main(batch_size: int = 8, iters: int = 20, input_hw=None,
+         backbone: str = None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from cvm_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # CVM_PLATFORM=cpu for CI smoke + persistent cache
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
@@ -49,7 +55,12 @@ def main(batch_size: int = 8, iters: int = 20) -> int:
     from cvm_tpu.models import get_model
 
     spec = get_model("centernet")
-    cfg = spec.params_cls(batch_size=batch_size)
+    overrides = {"batch_size": batch_size}
+    if input_hw is not None:
+        overrides["input_hw"] = tuple(input_hw)
+    if backbone is not None:
+        overrides["backbone"] = backbone
+    cfg = spec.params_cls(**overrides)
     model = spec.create_model(cfg)
     rng = np.random.default_rng(0)
     B = cfg.batch_size
@@ -87,15 +98,47 @@ def main(batch_size: int = 8, iters: int = 20) -> int:
             out = model.apply(variables, x, train=False)
         return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
 
+    # BN-fold variants (infer/fold_bn.py): the normalize disappears; the
+    # folded kernels are what the conv reads. Note the variables differ.
+    from cvm_tpu.infer.fold_bn import bn_folded_inference, fold_batchnorm
+
+    folded_vars, bias_table = fold_batchnorm(variables)
+    folded_vars = jax.device_put(folded_vars)
+
+    def fwd_fold(variables, x):
+        with bn_folded_inference(bias_table):
+            out = model.apply(variables, x, train=False)
+        return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
+
+    def fwd_fold_w8a8(variables, x):
+        with bn_folded_inference(bias_table), w8a8_static_inference(scales):
+            out = model.apply(variables, x, train=False)
+        return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
+
+    def _compiled_bytes(compiled) -> float:
+        try:
+            ca = compiled.cost_analysis()
+        except Exception:
+            return 0.0
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("bytes accessed", 0.0) or 0.0)
+
     peak, kind = _device_peak_tflops()
     res = {}
-    for name, fn in (("bf16", fwd_bf16), ("w8a8", fwd_w8a8),
-                     ("w8a8_static", fwd_w8a8_static)):
+    variants = (("bf16", fwd_bf16, variables),
+                ("fold_bn", fwd_fold, folded_vars),
+                ("w8a8", fwd_w8a8, variables),
+                ("w8a8_static", fwd_w8a8_static, variables),
+                ("fold_bn+w8a8", fwd_fold_w8a8, folded_vars))
+    for name, fn, vs in variants:
         jfn = jax.jit(fn)
-        dt = _time_fn(jfn, [(variables, x) for x in xs], iters=iters)
-        flops = 0.0
+        dt = _time_fn(jfn, [(vs, x) for x in xs], iters=iters)
+        flops = hbm = 0.0
         try:
-            flops = _compiled_flops(jfn.lower(variables, xs[0]).compile())
+            compiled = jfn.lower(vs, xs[0]).compile()
+            flops = _compiled_flops(compiled)
+            hbm = _compiled_bytes(compiled)
         except Exception:
             pass
         rec = {"variant": name, "ms_per_batch": round(dt * 1e3, 3),
@@ -106,11 +149,13 @@ def main(batch_size: int = 8, iters: int = 20) -> int:
             rec["achieved_tflops"] = round(achieved, 2)
             if peak and achieved > 2 * peak:  # int8 peak is 2x bf16 peak
                 rec["INVALID"] = "implied rate above int8 peak"
+        if hbm:
+            rec["hbm_gb_per_batch"] = round(hbm / 1e9, 3)
         res[name] = rec
         print(json.dumps(rec), flush=True)
 
     summary = {"device": kind}
-    for name in ("w8a8", "w8a8_static"):
+    for name, _, _ in variants[1:]:
         summary[f"{name}_speedup_vs_bf16"] = round(
             res["bf16"]["ms_per_batch"] / res[name]["ms_per_batch"], 3)
     print(json.dumps(summary), flush=True)
@@ -123,5 +168,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--input_hw", default=None, help="e.g. 64,64 (CI smoke)")
+    ap.add_argument("--backbone", default=None, help="e.g. tiny (CI smoke)")
     a = ap.parse_args()
-    sys.exit(main(a.batch_size, a.iters))
+    hw = tuple(int(x) for x in a.input_hw.split(",")) if a.input_hw else None
+    sys.exit(main(a.batch_size, a.iters, hw, a.backbone))
