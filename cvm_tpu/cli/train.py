@@ -35,6 +35,13 @@ def main(argv=None):
         help="enable jax NaN checking (SURVEY.md §5 sanitizer mode)",
     )
     parser.add_argument(
+        "--auto_restart", type=int, default=0, metavar="N",
+        help="on a device stall, re-exec this command up to N times and "
+             "resume from the latest checkpoint (the observed remote-backend "
+             "hang recovers on process restart; safe because this CLI is "
+             "resume-idempotent)",
+    )
+    parser.add_argument(
         "--coordinator", default=None,
         help="multi-process training: coordinator host:port — launch one "
              "process per host with identical args plus --process_id; "
@@ -88,6 +95,9 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         log_every=args.log_every,
         seed=args.seed,
+        restart_argv=([sys.executable, "-m", "cvm_tpu.cli.train"]
+                      + list(sys.argv[1:]) if args.auto_restart > 0 else None),
+        max_restarts=args.auto_restart,
     )
 
     # cfg.batch_size is the GLOBAL batch; each process hosts its own slice
