@@ -262,3 +262,24 @@ def test_size_bucketed_ap_det_area_ignore():
     m4 = ev4.compute()
     assert m3["mAP50"] == pytest.approx(1.0, abs=1e-6)
     assert m4["mAP50"] < 1.0  # in-bucket unmatched det remains an FP
+
+
+def test_depth_evaluator_median_scaling():
+    """Unsupervised (scale-ambiguous) protocol: a prediction that is GT
+    times any constant must score perfectly under median scaling and
+    terribly without it."""
+    from cvm_tpu.train.evaluate import DepthEvaluator
+
+    rng = np.random.default_rng(3)
+    gt = rng.uniform(2.0, 40.0, (32, 32)).astype(np.float32)
+    pred = gt * 7.3  # right structure, wrong scale
+
+    raw = DepthEvaluator()
+    raw.add(pred, gt)
+    assert raw.compute()["delta1"] == 0.0
+
+    scaled = DepthEvaluator(median_scale=True)
+    scaled.add(pred, gt)
+    m = scaled.compute()
+    assert m["delta1"] == 1.0
+    assert m["abs_rel"] < 1e-6
