@@ -51,6 +51,13 @@ def main(argv=None):
     parser.add_argument("--process_id", type=int, default=None)
     args, overrides = parser.parse_known_args(argv)
 
+    if args.coordinator is not None and (
+            args.num_processes is None or args.process_id is None):
+        # Passing None into jax.distributed.initialize yields an opaque
+        # backend error (or unintended env auto-detection) — fail at the
+        # CLI boundary instead (ADVICE r3).
+        parser.error("--coordinator requires --num_processes and --process_id")
+
     if args.coordinator is not None:
         # DCN side of the comm backend: one controller per host, global mesh
         # over every host's devices, GSPMD collectives ride ICI within a host
@@ -95,8 +102,12 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         log_every=args.log_every,
         seed=args.seed,
+        # Use the explicit argv when given — a programmatic caller's restart
+        # must re-exec the TRAINING command, not the host process's command
+        # line (ADVICE r3).
         restart_argv=([sys.executable, "-m", "cvm_tpu.cli.train"]
-                      + list(sys.argv[1:]) if args.auto_restart > 0 else None),
+                      + list(argv if argv is not None else sys.argv[1:])
+                      if args.auto_restart > 0 else None),
         max_restarts=args.auto_restart,
     )
 

@@ -435,11 +435,17 @@ class RecordLoader:
             stop.set()
 
 
-def prefetch_to_device(iterator, sharding, depth: int = 2):
+def prefetch_to_device(iterator, sharding, depth: int = 2, stage=None):
     """Double-buffer host batches onto device (keeps the chip fed).
 
     Issues ``depth`` async host→device transfers ahead of consumption —
     the device-side analogue of the reference's Sequence worker threads.
+
+    ``stage``: optional single-element list shared with a stall watchdog
+    (train.loop.Trainer.fit). device_put is an RPC over the same tunnel as
+    step execution, so a hang inside it is a DEVICE stall, not input
+    starvation — the watchdog needs to see "transfer", not "await_batch",
+    to give the right advice and fire auto-restart (ADVICE r3 #1).
     """
     import collections
 
@@ -447,19 +453,23 @@ def prefetch_to_device(iterator, sharding, depth: int = 2):
 
     buf = collections.deque()
     it = iter(iterator)
+    st = stage if stage is not None else [None]
 
-    def put(x):
-        return global_put(x, sharding)
+    def pull_and_put():
+        st[0] = "await_batch"
+        x = next(it)  # host loader wait — restarting will not help
+        st[0] = "transfer"
+        return global_put(x, sharding)  # device RPC — restart-eligible
 
     try:
         for _ in range(depth):
-            buf.append(put(next(it)))
+            buf.append(pull_and_put())
     except StopIteration:
         pass
     while buf:
         out = buf.popleft()
         try:
-            buf.append(put(next(it)))
+            buf.append(pull_and_put())
         except StopIteration:
             pass
         yield out

@@ -68,8 +68,20 @@ def fold_batchnorm(
             and isinstance(bn_p, dict) and {"scale", "bias"} <= set(bn_p)
             and isinstance(bn_s, dict) and {"mean", "var"} <= set(bn_s)
         ):
-            s = (np.asarray(bn_p["scale"], np.float64)
-                 / np.sqrt(np.asarray(bn_s["var"], np.float64) + eps))
+            # Guard the name-based match: the BN must actually normalize
+            # THIS conv's output, i.e. one scale per output channel. A
+            # module that merely names its children conv/bn with different
+            # shapes must fail loudly, not broadcast-fold (ADVICE r3).
+            scale = np.asarray(bn_p["scale"], np.float64)
+            kernel = np.asarray(conv["kernel"])
+            if scale.ndim != 1 or scale.shape[0] != kernel.shape[-1]:
+                raise ValueError(
+                    f"fold_batchnorm: at params path {'/'.join(path)!r} the "
+                    f"bn scale shape {scale.shape} does not match the conv "
+                    f"kernel's output channels ({kernel.shape[-1]}) — this "
+                    "conv/bn pair is not the ConvBN layout; refusing to fold"
+                )
+            s = scale / np.sqrt(np.asarray(bn_s["var"], np.float64) + eps)
             out["conv"] = dict(conv)
             out["conv"]["kernel"] = (
                 np.asarray(conv["kernel"], np.float64) * s

@@ -201,10 +201,27 @@ class InferencePipeline:
 
         kw = {}
         if mesh is not None:
+            # Sharded serving (SURVEY §2 parallelism — DP applies to the
+            # benchmark surface §3.2, not just training): batch sharded over
+            # the "data" axis, small result tensors gathered replicated. With
+            # tensor_parallel on, the Megatron-split kernels stay physically
+            # sharded on "model" (same rules as Trainer) instead of being
+            # gathered at the jit boundary.
             repl = replicated(mesh)
             bsh = batch_sharding(mesh)
+            var_sh: Any = repl
+            if getattr(params_cfg, "tensor_parallel", False):
+                from cvm_tpu.parallel.sharding import (
+                    make_param_shardings, tp_rules_for)
+
+                rules = tp_rules_for(spec.name)
+                var_sh = {
+                    k: make_param_shardings(
+                        v, mesh, rules if k == "params" else ())
+                    for k, v in self._variables.items()
+                }
             kw = dict(
-                in_shardings=(repl,) + (bsh,) * n_data_args,
+                in_shardings=(var_sh,) + (bsh,) * n_data_args,
                 out_shardings=repl,
             )
         self._predict = jax.jit(predict, **kw)

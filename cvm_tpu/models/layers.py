@@ -100,6 +100,10 @@ class ConvBN(nn.Module):
                 name="conv",
             )(x)
         if self.use_bn:
+            # infer/fold_bn.py folds this BN into the conv kernel at export
+            # assuming flax's default epsilon (1e-5) and the conv/bn sibling
+            # layout above — overriding epsilon= here (or renaming the
+            # children) would make folding silently wrong; keep them in sync.
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,

@@ -427,6 +427,16 @@ class Trainer:
                         "storage, restarting will not help)",
                         file=sys.stderr, flush=True,
                     )
+                elif loop_stage[0] == "transfer":
+                    # host→device transfer is an RPC over the same tunnel as
+                    # execution — a hang here IS the device stall (ADVICE r3).
+                    print(
+                        f"[cvm_tpu] WARNING: host→device batch transfer not "
+                        f"completed in {quiet:.0f}s — the device/backend "
+                        "looks stalled mid-transfer",
+                        file=sys.stderr, flush=True,
+                    )
+                    self._maybe_auto_restart(quiet)
                 else:
                     print(
                         f"[cvm_tpu] WARNING: no training step completed in "
@@ -437,8 +447,10 @@ class Trainer:
                     self._maybe_auto_restart(quiet)
 
         threading.Thread(target=_watch, daemon=True).start()
+        resume_step = step  # restart-budget reset point (ADVICE r3)
         try:
-            batches = prefetch_to_device(islice(data_iter, num_steps), self._batch_sh)
+            batches = prefetch_to_device(islice(data_iter, num_steps),
+                                         self._batch_sh, stage=loop_stage)
             for raw in batches:
                 loop_stage[0] = "stepping"
                 self.state, metrics = self.train_step(self.state, raw, base)
@@ -461,6 +473,12 @@ class Trainer:
                         self.metrics_writer.write(step, last)
                 if self.ckpt is not None and step % self.checkpoint_every == 0:
                     self.ckpt.save(step, self.state)
+                    if step > resume_step:
+                        # Checkpointed progress past the resume point: the
+                        # auto-restart budget is per-stall, not per-job-
+                        # lifetime — a run that legitimately recovered N
+                        # times keeps its recovery (ADVICE r3).
+                        __import__("os").environ.pop("CVM_RESTART_COUNT", None)
                 loop_stage[0] = "await_batch"
         finally:
             done.set()

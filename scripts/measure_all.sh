@@ -1,14 +1,18 @@
 #!/usr/bin/env bash
-# One-shot on-chip measurement session (run when the tunnel is HEALTHY).
+# On-chip measurement session (run when the tunnel is HEALTHY). RESUMABLE:
+# re-running with the same MEASURE_OUT skips steps that already produced
+# trustworthy numbers (marker file <step>.ok), so the probe-loop watcher
+# (scripts/measure_watch.sh) can fire it at every healthy window until the
+# whole queue is captured (VERDICT r3 weak #7).
 #
 # Every step goes through scripts/remeasure.py, which probes the relay
 # before AND after (exit 3 = window went bad mid-run; numbers are suspect
 # and must not be recorded — CLAUDE.md "Environment gotchas"). Results
-# land in $OUT (default runs/measure_<date>/), one log per step, plus a
-# summary of which steps produced trustworthy numbers.
+# land in $OUT (default runs/measure/), one log per step, plus a summary
+# of which steps produced trustworthy numbers.
 #
-# Queue (VERDICT r2 #2/#3/#4):
-#   1. bench.py headline x3            (BENCH_r03 evidence, driver contract)
+# Queue (VERDICT r2 #2/#3/#4, r3 #1/#3):
+#   1. bench.py headline x3            (driver contract evidence)
 #   2. w8a8_bench ablation             (bf16/fold_bn/w8a8_static/+both, HBM bytes)
 #   3. cli.benchmark A-E infer         (replace stale round-1 table)
 #   4. cli.benchmark B --train         (post fp32-heads-fix, post relay-aware fit)
@@ -17,18 +21,26 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 
-OUT="${MEASURE_OUT:-runs/measure_$(date +%Y%m%d_%H%M)}"
+OUT="${MEASURE_OUT:-runs/measure}"
 mkdir -p "$OUT"
 declare -A status
+ALL_OK=1
 
 run() { # run <name> <max_wait> <cmd...>
   local name="$1" wait="$2"; shift 2
+  if [[ -e "$OUT/$name.ok" ]]; then
+    status[$name]="OK(cached)"
+    echo "== $name == already captured, skipping"
+    return
+  fi
   echo "== $name =="
   if python scripts/remeasure.py --max_wait "$wait" -- "$@" \
       > "$OUT/$name.log" 2>&1; then
     status[$name]=OK
+    touch "$OUT/$name.ok"
   else
     status[$name]="FAILED(rc=$?)"
+    ALL_OK=0
   fi
   tail -3 "$OUT/$name.log"
 }
@@ -43,3 +55,4 @@ run "dmds_accuracy" 900 benchmarks/accuracy_demo.py --model dmds --steps 1500
 
 echo; echo "== summary ($OUT) =="
 for k in "${!status[@]}"; do echo "$k: ${status[$k]}"; done
+[[ $ALL_OK -eq 1 ]] && exit 0 || exit 1

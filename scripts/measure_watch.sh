@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# Probe-loop watcher: captures the on-chip measurement backlog at the FIRST
+# healthy tunnel window without a human in the loop (VERDICT r3 #1/#7 —
+# degraded windows have outlasted whole work sessions; a one-shot queue
+# misses the recovery).
+#
+#   nohup scripts/measure_watch.sh > runs/watch.log 2>&1 &
+#
+# Loop: probe (subprocess, bounded). Healthy (<10 ms/dispatch) -> touch
+# runs/MEASURING (so concurrent host-heavy work can yield), run the resumable
+# measure_all.sh; exit when every step has an .ok marker. Degraded -> sleep
+# and re-probe. State files under runs/: PROBE_LAST (ms + timestamp),
+# MEASURING (lock while a session is active).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:${PYTHONPATH:-}"
+
+INTERVAL="${WATCH_INTERVAL_S:-600}"
+OUT="${MEASURE_OUT:-runs/measure}"
+mkdir -p runs "$OUT"
+
+probe_ms() {
+  timeout 180 python - <<'EOF' 2>/dev/null | tail -1
+import sys
+sys.path.insert(0, ".")
+from bench import _probe_once
+print(_probe_once())
+EOF
+}
+
+while true; do
+  ms="$(probe_ms || true)"
+  ms="${ms:-inf}"
+  echo "$(date -Is) probe=${ms} ms/dispatch" | tee -a runs/PROBE_LAST
+  healthy="$(python -c "
+m='$ms'
+try: print(1 if float(m) < 10.0 else 0)
+except ValueError: print(0)
+")"
+  if [[ "$healthy" == "1" ]]; then
+    echo "$(date -Is) tunnel HEALTHY — starting measurement session"
+    touch runs/MEASURING
+    if MEASURE_OUT="$OUT" bash scripts/measure_all.sh; then
+      rm -f runs/MEASURING
+      echo "$(date -Is) ALL steps captured — watcher done"
+      exit 0
+    fi
+    rm -f runs/MEASURING
+    echo "$(date -Is) some steps FAILED (window closed?) — will retry"
+  fi
+  sleep "$INTERVAL"
+done

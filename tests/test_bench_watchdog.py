@@ -61,6 +61,40 @@ def test_stalled_tunnel_reports_and_refuses():
     assert "stalled" in out["error"]
 
 
+def test_failure_line_carries_last_good(tmp_path):
+    # VERDICT r3 next-round #2: a degraded tunnel at the driver's round-end
+    # instant must not zero the evidence — the refusal line attaches the
+    # last healthy measurement plus an explicit staleness field.
+    cache = tmp_path / "last_good.json"
+    cache.write_text(json.dumps({
+        "result": {"metric": "centernet_512x512_e2e_images_per_sec_per_chip",
+                   "value": 1050.0, "unit": "images/sec",
+                   "vs_baseline": 12.3, "tunnel_probe_ms": 2.1},
+        "saved_at_unix": 1_700_000_000.0,
+        "saved_at": "2023-11-14T22:13:20+0000",
+    }))
+    proc = _run_bench({
+        "CVM_BENCH_FAKE_PROBE_MS": "100",
+        "CVM_BENCH_PROBE_WAIT_S": "1",
+        "CVM_BENCH_DEADLINE_S": "120",
+        "CVM_BENCH_LAST_GOOD_PATH": str(cache),
+    })
+    assert proc.returncode == 0
+    out = _parse_single_json_line(proc.stdout)
+    assert out["value"] == 0.0 and "degraded" in out["error"]
+    assert out["last_good"]["value"] == 1050.0
+    assert out["last_good_age_h"] > 0
+    # Missing cache: the failure line simply omits the field (no crash).
+    proc = _run_bench({
+        "CVM_BENCH_FAKE_PROBE_MS": "100",
+        "CVM_BENCH_PROBE_WAIT_S": "1",
+        "CVM_BENCH_DEADLINE_S": "120",
+        "CVM_BENCH_LAST_GOOD_PATH": str(tmp_path / "absent.json"),
+    })
+    out = _parse_single_json_line(proc.stdout)
+    assert "last_good" not in out
+
+
 def test_deadline_watchdog_fires_during_hung_measurement():
     # A healthy probe lets measurement start; the CPU compile of the full
     # e2e program takes far longer than 6 s, so the deadline fires while the
