@@ -252,6 +252,11 @@ def pack_kitti_raw(
     t+stride (jpeg_t1) and [fx, fy, cx, cy] — everything the two-frame
     unsupervised pipeline needs (SURVEY.md §3.4, BASELINE config E). Pairs
     never cross a drive boundary (no fake motion between unrelated scenes).
+
+    When the drive also has GT depth (<drive>_sync/proj_depth/data/*.png,
+    uint16 depth*256 — KITTI depth-devkit layout), frame t's depth is stored
+    too, so an unsupervised DMDS run can be EVALUATED (median-scaled delta1,
+    train/evaluate.py) against withheld ground truth.
     """
     drive_dirs = sorted(
         d for d in glob.glob(os.path.join(src_dir, "*", "*", "image_02", "data"))
@@ -266,6 +271,8 @@ def pack_kitti_raw(
             intr = _parse_calib_cam_to_cam(
                 os.path.join(date_dir, "calib_cam_to_cam.txt"))
             frames = sorted(glob.glob(os.path.join(ddir, "*.png")))
+            gdir = os.path.join(os.path.dirname(os.path.dirname(ddir)),
+                                "proj_depth", "data")
             for a, b in zip(frames, frames[frame_stride:]):
                 if max_images is not None and n >= max_images:
                     break
@@ -274,7 +281,11 @@ def pack_kitti_raw(
                 meta = {"id": os.path.relpath(a, src_dir), "height": h, "width": wd}
                 if intr is not None:
                     meta["intrinsics"] = intr
-                w.write(meta, {"jpeg": jpeg, "jpeg_t1": jpeg1})
+                blobs = {"jpeg": jpeg, "jpeg_t1": jpeg1}
+                dpath = os.path.join(gdir, os.path.basename(a))
+                if os.path.exists(dpath):
+                    blobs["depth"] = load_png_u16(dpath).astype(np.uint16)
+                w.write(meta, blobs)
                 n += 1
     return {"written": n, "drives": len(drive_dirs)}
 

@@ -103,16 +103,23 @@ STEPS_DMDS="${E2E_STEPS_DMDS:-250}"
 python scripts/gen_dataset.py --format kitti_raw --out "$WORK/kraw" --images "$IMAGES" --hw 96,96
 python -m cvm_tpu.cli.pack --dataset kitti_raw --src "$WORK/kraw" --out "$WORK/kraw.cvrec"
 python -m cvm_tpu.cli.train --model dmds --data "$WORK/kraw.cvrec" \
-  --steps "$STEPS_DMDS" --workdir "$WORK/dmds" --pad_hw 96,96 \
+  --steps "$STEPS_DMDS" --eval_every "$STEPS_DMDS" --eval_batches 6 \
+  --workdir "$WORK/dmds" --pad_hw 96,96 \
   --log_every 10 --checkpoint_every "$STEPS_DMDS" \
   --input_hw "[64,64]" --backbone tiny --decoder_features 16 --motion_features 32 \
   --max_depth 45 --min_depth 1 --batch_size 8 \
   --learning_rate 0.0005 --warmup_steps 20 --total_steps "$STEPS_DMDS"
 python -m cvm_tpu.cli.export --model dmds \
   --checkpoint_dir "$WORK/dmds/checkpoints" --out "$WORK/dmds_artifact" --batch_size 4
-# Unsupervised: gate on measured photometric improvement over training.
+# Unsupervised: gate on measured photometric improvement over training...
 python scripts/check_e2e.py --workdir "$WORK/dmds" --artifact "$WORK/dmds_artifact" \
   --data "$WORK/kraw.cvrec" --metric loss_photo --improve "${E2E_DMDS_IMPROVE:-0.10}" --pad_hw 96,96
+# ...AND on accuracy: median-scaled delta1 of the unsupervised depth net vs
+# the withheld parallax-consistent GT depth the generator emits (the standard
+# monodepth protocol; the generated motion is fx*tx/z so the depth map is
+# recoverable from two frames up to scale — VERDICT r3 #8).
+python scripts/check_e2e.py --workdir "$WORK/dmds" --artifact "$WORK/dmds_artifact" \
+  --data "$WORK/kraw.cvrec" --metric val_delta1 --min "${E2E_MIN_DMDS_DELTA1:-0.40}" --pad_hw 96,96
 
 echo "== leg 6: KITTI 3D (label_2+calib -> pack -> train with_3d -> export -> serve; 3D gate) =="
 STEPS_3D="${E2E_STEPS_3D:-400}"

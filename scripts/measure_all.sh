@@ -53,6 +53,30 @@ run "infer_AE" 600 -m cvm_tpu.cli.benchmark --configs A,B,C,D,E --iters 20
 run "train_B" 600 -m cvm_tpu.cli.benchmark --configs B --train --iters 20
 run "dmds_accuracy" 900 benchmarks/accuracy_demo.py --model dmds --steps 1500
 
+# Step 6 (VERDICT r3 #5): the flagship 512x512 train-to-eval accuracy run,
+# surviving tunnel hiccups via --auto_restart. Health-gated on entry only
+# (--no_post): a mid-run degraded window costs wall time, not correctness.
+if [[ ! -e "$OUT/flagship_512.ok" ]]; then
+  echo "== flagship_512 =="
+  if python scripts/remeasure.py --max_wait 900 --no_post -- \
+      -m cvm_tpu.cli.train --model centernet --data synthetic \
+      --steps 5000 --eval_every 2500 --eval_batches 12 \
+      --workdir runs/flagship_512 --pad_hw 512,512 \
+      --checkpoint_every 500 --log_every 200 --auto_restart 3 \
+      --num_classes 10 --max_objects 16 --batch_size 16 \
+      --warmup_steps 250 --total_steps 5000 \
+      > "$OUT/flagship_512.log" 2>&1; then
+    status[flagship_512]=OK
+    touch "$OUT/flagship_512.ok"
+  else
+    status[flagship_512]="FAILED(rc=$?)"
+    ALL_OK=0
+  fi
+  tail -3 "$OUT/flagship_512.log"
+else
+  status[flagship_512]="OK(cached)"
+fi
+
 echo; echo "== summary ($OUT) =="
 for k in "${!status[@]}"; do echo "$k: ${status[$k]}"; done
 [[ $ALL_OK -eq 1 ]] && exit 0 || exit 1

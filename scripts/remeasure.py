@@ -36,6 +36,11 @@ def main(argv=None):
     )
     parser.add_argument("--max_wait", type=float, default=1200.0,
                         help="seconds to wait for the tunnel to recover")
+    parser.add_argument("--no_post", action="store_true",
+                        help="skip the post-run probe: for ACCURACY runs "
+                             "(train-to-eval), where a mid-run degraded "
+                             "window costs wall time but does not poison the "
+                             "result the way it poisons a perf number")
     parser.add_argument("cmd", nargs=argparse.REMAINDER,
                         help="command after -- : either a script path or "
                              "-m module args, run under this interpreter")
@@ -57,6 +62,11 @@ def main(argv=None):
     if rc != 0:
         print(f"[remeasure] command failed rc={rc}", flush=True)
         return rc
+
+    if args.no_post:
+        print("[remeasure] post-probe skipped (--no_post accuracy mode)",
+              flush=True)
+        return 0
 
     post_ms = _probe_once()
     print(f"[remeasure] post-probe: {post_ms:.2f} ms/dispatch", flush=True)

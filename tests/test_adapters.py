@@ -281,6 +281,13 @@ def test_pack_kitti_raw_two_frame_pairs(tmp_path, rng):
             img = rng.integers(0, 255, (24, 64, 3), dtype=np.uint8)
             frames[(drive, t)] = img
             _save(str(date / drive / "image_02" / "data" / f"{t:010d}.png"), img)
+    # GT depth present for drive_0001 only (KITTI depth-devkit layout):
+    # records pick it up where it exists and stay depth-free where not.
+    gdir = date / "2011_09_26_drive_0001_sync" / "proj_depth" / "data"
+    os.makedirs(gdir, exist_ok=True)
+    for t in range(3):
+        d16 = np.full((24, 64), 12 * 256, np.uint16)
+        Image.fromarray(d16).save(str(gdir / f"{t:010d}.png"))
 
     out = str(tmp_path / "kraw.cvrec")
     stats = pack_kitti_raw(str(root), out)
@@ -293,6 +300,9 @@ def test_pack_kitti_raw_two_frame_pairs(tmp_path, rng):
     meta, blobs = r.get(0)
     assert "jpeg" in blobs and "jpeg_t1" in blobs
     assert meta["intrinsics"] == [700.0, 700.0, 600.0, 180.0]
+    assert blobs["depth"].dtype == np.uint16
+    assert int(blobs["depth"][5, 5]) == 12 * 256
+    assert "depth" not in r.get(2)[1]  # drive_0002 has no proj_depth
     # The pair really is (t, t+1): decode both jpegs and match the sources.
     import io
 

@@ -96,3 +96,68 @@ def test_spatial_shard_flag_matches_unsharded_semseg():
     np.testing.assert_allclose(
         np.asarray(out_on), np.asarray(out_off), rtol=1e-2, atol=1e-2
     )
+
+
+def test_sharded_serving_matches_unsharded_pipeline():
+    """Sharded serving (VERDICT r3 #6): InferencePipeline on the (data,
+    model) mesh — batch sharded over "data", TP kernels physically sharded
+    over "model" at serve time — must reproduce the plain single-device
+    pipeline's decode output."""
+    from cvm_tpu.infer.pipeline import InferencePipeline
+
+    spec = get_model("centernet")
+    model = spec.create_model(_tiny_centernet(False))
+    variables = model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": rng.integers(0, 255, (8, 96, 96, 3), dtype=np.uint8),
+        "image_hw": np.asarray([[96, 96]] * 8, np.int32),
+    }
+
+    plain = InferencePipeline(spec, _tiny_centernet(False), variables)
+    mesh = make_mesh(model_axis=2)
+    sharded = InferencePipeline(
+        spec, _tiny_centernet(True), variables, mesh=mesh
+    )
+    # TP in_shardings actually shard the kernels at the jit boundary.
+    tp_sh = sharded._predict.lower(
+        variables, batch["image"], batch["image_hw"]
+    )  # lowering succeeds with the TP shardings — compile check
+    del tp_sh
+
+    out_s = {k: np.asarray(v) for k, v in sharded(batch).items()}
+    # Decoded top-k of an UNTRAINED detector is not a valid equality surface:
+    # the near-flat random heatmap makes the 3x3-maxpool peak mask all ties,
+    # so the peak COUNT itself flips under bf16 collective reassociation and
+    # decode zero-pads the difference. Here we lock execution (full sharded
+    # preprocess+forward+decode program runs, sane output); dense-output
+    # numerics equality is asserted on the depth model below.
+    assert out_s["boxes"].shape == (8, 100, 4)
+    assert np.isfinite(out_s["scores"]).all() and np.isfinite(out_s["boxes"]).all()
+    assert (out_s["scores"] >= 0).all() and (out_s["scores"] <= 1).all()
+
+    # Dense numerics lock: sharded vs unsharded serving must agree on the
+    # depth model's full-resolution output map (continuous, no tie-breaking).
+    dspec = get_model("depth")
+    dcfg_r = dspec.params_cls(
+        input_hw=(64, 64), backbone="tiny", decoder_features=16, num_scales=2,
+        max_depth=45.0, min_depth=1.0,
+    )
+    dcfg_tp = dataclasses_replace_tp(dcfg_r)
+    dmodel = dspec.create_model(dcfg_r)
+    dvars = dmodel.init(jax.random.PRNGKey(5), jnp.zeros((1, 64, 64, 3)),
+                        train=False)
+    d_plain = InferencePipeline(dspec, dcfg_r, dvars)
+    d_shard = InferencePipeline(dspec, dcfg_tp, dvars, mesh=mesh)
+    dep_p = np.asarray(d_plain(batch)["depth"])
+    dep_s = np.asarray(d_shard(batch)["depth"])
+    np.testing.assert_allclose(dep_s, dep_p, rtol=2e-2, atol=2e-2)
+
+
+def dataclasses_replace_tp(cfg):
+    import dataclasses
+
+    return dataclasses.replace(cfg, tensor_parallel=True)
