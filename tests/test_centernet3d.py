@@ -8,6 +8,7 @@ from cvm_tpu.data.synthetic import synthetic_batch
 from cvm_tpu.models import get_model
 from cvm_tpu.ops.decode import decode_centernet_with_extras
 from cvm_tpu.ops.heatmap import render_centernet_targets
+import pytest
 
 
 def _cfg3d():
@@ -32,6 +33,7 @@ def test_extras_rendering():
     assert float(t.extras["rot"][6, 6, 0]) == 1.0
 
 
+@pytest.mark.slow
 def test_3d_forward_and_loss_and_train_step():
     spec, p = _cfg3d()
     model = spec.create_model(p)

@@ -1,5 +1,9 @@
 """Checkpoint save → restore → exact resume (SURVEY.md §5)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # orbax save/restore roundtrips with training (~5 min)
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,10 +9,13 @@ k*b up to fp tolerance (same grads by linearity of the mean loss).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cvm_tpu.data.synthetic import synthetic_iterator
 from cvm_tpu.models import get_model
 from cvm_tpu.train.loop import Trainer
+
+pytestmark = pytest.mark.slow  # multi-config training comparisons (~3.5 min)
 
 
 def _tiny_params(**kw):

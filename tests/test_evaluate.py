@@ -90,6 +90,7 @@ def test_detection3d_evaluator():
     assert m["matched_3d_frac"] == pytest.approx(0.5, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_evaluate_model_e2e_centernet_3d():
     """with_3d evaluate_model reports 3D metrics through the full pipeline."""
     import jax

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jax.export artifacts compiled + served (~2 min)
+
 
 def test_export_and_serving_roundtrip(tmp_path, rng):
     import jax

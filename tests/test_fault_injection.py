@@ -20,6 +20,8 @@ import time
 
 import pytest
 
+pytestmark = pytest.mark.slow  # SIGKILL/hang children re-exec + resume (~3 min)
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CHILD = os.path.join(_REPO, "tests", "fault_child.py")
 

@@ -36,6 +36,7 @@ def test_fold_single_convbn_exact(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fold_full_model_close(rng):
     import jax
 
@@ -65,6 +66,7 @@ def test_fold_full_model_close(rng):
         )
 
 
+@pytest.mark.slow
 def test_export_fold_bn_artifact(tmp_path, rng):
     from cvm_tpu.cli.export import export_model
     from cvm_tpu.data.synthetic import synthetic_batch

@@ -75,6 +75,7 @@ def test_pipeline_centernet_3d_serving(rng):
         assert os.path.getsize(path) > 0
 
 
+@pytest.mark.slow
 def test_pipeline_dmds_two_frame(rng):
     spec = get_model("dmds")
     p = spec.params_cls(input_hw=(64, 64), backbone="tiny", decoder_features=16,

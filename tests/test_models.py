@@ -39,6 +39,7 @@ def test_semseg_forward():
     assert out["logits"].dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_depth_forward():
     spec = get_model("depth")
     p = spec.params_cls(input_hw=(64, 128), backbone="tiny", decoder_features=16, num_scales=2)
@@ -63,6 +64,7 @@ def test_multitask_forward():
     assert out["depth"].shape == (1, 64, 128, 1)
 
 
+@pytest.mark.slow
 def test_dmds_forward():
     spec = get_model("dmds")
     p = spec.params_cls(input_hw=(64, 128), backbone="tiny", decoder_features=16, motion_features=32)

@@ -19,6 +19,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # two real subprocesses + gloo rendezvous (~3 min)
+
 CHILD = os.path.join(os.path.dirname(__file__), "multiproc_child.py")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STEPS = 3

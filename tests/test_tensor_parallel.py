@@ -3,6 +3,10 @@ the tensor_parallel config flag physically shards the widest backbone convs
 and trains identically to the replicated oracle; the semseg spatial_shard
 flag runs the head conv halo-exchanged with identical outputs."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # sharded-vs-replicated training oracles (~1 min)
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,6 +10,8 @@ from cvm_tpu.data.synthetic import synthetic_iterator
 from cvm_tpu.models import get_model
 from cvm_tpu.train.loop import Trainer
 
+pytestmark = pytest.mark.slow  # every zoo model trains to loss decrease (~2 min)
+
 
 def _run_steps(name, p, steps=12, two_frame=False, batch=8):
     series = _run_series(name, p, steps, two_frame, batch)

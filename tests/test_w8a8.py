@@ -8,8 +8,10 @@ from cvm_tpu.infer.pipeline import InferencePipeline
 from cvm_tpu.infer.quantize import w8a8_inference
 from cvm_tpu.data.synthetic import synthetic_batch
 from cvm_tpu.models import get_model
+import pytest
 
 
+@pytest.mark.slow
 def test_w8a8_semseg_outputs_close(rng):
     spec = get_model("semseg")
     p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
