@@ -35,6 +35,13 @@ def main(argv=None):
         help="enable jax NaN checking (SURVEY.md §5 sanitizer mode)",
     )
     parser.add_argument(
+        "--profile_steps", type=int, default=0, metavar="N",
+        help="capture a jax.profiler trace of N steady-state training steps "
+             "to <workdir>/trace (after a short warmup so compiles stay out "
+             "of the trace; view with tensorboard/perfetto — SURVEY.md §5 "
+             "tracing)",
+    )
+    parser.add_argument(
         "--auto_restart", type=int, default=0, metavar="N",
         help="on a device stall, re-exec this command up to N times and "
              "resume from the latest checkpoint (the observed remote-backend "
@@ -188,6 +195,21 @@ def main(argv=None):
         return m
 
     nc = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 3))
+    metrics = {}
+    if args.profile_steps > 0 and args.steps > 0:
+        from cvm_tpu.utils.prof import trace
+
+        # Warm up past compiles so the trace shows steady-state steps only.
+        warm = min(20, max(args.steps - args.profile_steps, 0))
+        if warm:
+            trainer.fit(it, warm)
+        n = min(args.profile_steps, args.steps - warm)
+        trace_dir = f"{args.workdir}/trace"
+        with trace(trace_dir):
+            metrics = trainer.fit(it, n)
+        args.steps -= warm + n
+        print(f"[cvm_tpu] profiler trace of {n} steps written to {trace_dir}",
+              flush=True)
     if args.eval_every > 0 and jax.process_count() > 1:
         # evaluate_model jits its own per-host program; running it inside a
         # multi-controller job would deadlock the global-mesh collectives.
@@ -197,13 +219,12 @@ def main(argv=None):
         args.eval_every = 0
     if args.eval_every > 0:
         remaining = args.steps
-        metrics = {}
         while remaining > 0:
             chunk = min(args.eval_every, remaining)
             metrics = trainer.fit(it, chunk)
             run_eval()
             remaining -= chunk
-    else:
+    elif args.steps > 0:
         metrics = trainer.fit(it, args.steps)
     if args.data != "synthetic" and hasattr(loader, "stats"):
         # Per-stage input-pipeline timing (read/decode/assemble ms per
