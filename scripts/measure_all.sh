@@ -26,8 +26,8 @@ mkdir -p "$OUT"
 declare -A status
 ALL_OK=1
 
-run() { # run <name> <max_wait> <cmd...>
-  local name="$1" wait="$2"; shift 2
+run() { # run <name> <max_wait> <cmd...>  (MEASURE_MAX_WAIT overrides, for tests)
+  local name="$1" wait="${MEASURE_MAX_WAIT:-$2}"; shift 2
   if [[ -e "$OUT/$name.ok" ]]; then
     status[$name]="OK(cached)"
     echo "== $name == already captured, skipping"
@@ -58,7 +58,7 @@ run "dmds_accuracy" 900 benchmarks/accuracy_demo.py --model dmds --steps 1500
 # (--no_post): a mid-run degraded window costs wall time, not correctness.
 if [[ ! -e "$OUT/flagship_512.ok" ]]; then
   echo "== flagship_512 =="
-  if python scripts/remeasure.py --max_wait 900 --no_post -- \
+  if python scripts/remeasure.py --max_wait "${MEASURE_MAX_WAIT:-900}" --no_post -- \
       -m cvm_tpu.cli.train --model centernet --data synthetic \
       --steps 5000 --eval_every 2500 --eval_batches 12 \
       --workdir runs/flagship_512 --pad_hw 512,512 \
