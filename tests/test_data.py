@@ -134,6 +134,32 @@ def test_prefetch_to_device(tmp_path, rng):
     assert out[0]["image"].shape == (4, 48, 64, 3)
     assert isinstance(out[0]["image"], jax.Array)
 
+
+def test_prefetch_stage_reports_transfer(tmp_path, rng):
+    """The stall watchdog needs to see 'transfer' while the host→device put
+    is in flight (a hang there is a DEVICE stall, restart-eligible) and
+    'await_batch' while blocked on the host iterator (ADVICE r3 #1)."""
+    import jax
+
+    p = str(tmp_path / "a.cvrec")
+    _write_shard(p, 8, rng, with_mask=False, with_depth=False)
+    loader = RecordLoader(RecordDataset([p]), batch_size=4, pad_hw=(48, 64),
+                          loop=False)
+    seen = []
+
+    class RecordingStage(list):
+        def __setitem__(self, i, v):
+            seen.append(v)
+            super().__setitem__(i, v)
+
+    stage = RecordingStage(["await_batch"])
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    out = list(prefetch_to_device(iter(loader), sharding, stage=stage))
+    assert len(out) == 2
+    # Every put is bracketed: await_batch (host wait) then transfer (RPC).
+    assert seen[:2] == ["await_batch", "transfer"]
+    assert "transfer" in seen and seen.count("await_batch") >= 2
+
 def test_loader_rescales_labels_on_decoder_downscale(tmp_path, rng):
     """Oversized JPEGs are DCT-downscaled by the feeder; labels must follow."""
     p = str(tmp_path / "big.cvrec")
