@@ -18,6 +18,10 @@ def main(argv=None):
     parser.add_argument("--model", required=True)
     parser.add_argument("--workdir", default="runs/default",
                         help="training workdir containing checkpoints/")
+    parser.add_argument("--checkpoint_dir", default=None,
+                        help="explicit checkpoint dir (overrides "
+                             "<workdir>/checkpoints — e.g. <workdir>/best "
+                             "from --keep_best)")
     parser.add_argument("--data", default="synthetic", help="'synthetic' or .cvrec glob")
     parser.add_argument("--split", default="val", choices=("val", "train", "all"),
                         help="which id split of the dataset to evaluate")
@@ -44,7 +48,7 @@ def main(argv=None):
     # The checkpoint is self-describing: use the SAVED config (so optimizer/
     # EMA/accum state templates match the on-disk tree), with CLI overrides
     # applied on top for eval-only knobs.
-    ckpt_dir = f"{args.workdir}/checkpoints"
+    ckpt_dir = args.checkpoint_dir or f"{args.workdir}/checkpoints"
     try:
         cfg_saved = load_params_cfg(ckpt_dir, spec.params_cls)
     except (FileNotFoundError, OSError):
@@ -79,7 +83,7 @@ def main(argv=None):
     step = int(trainer.state.step)
     if step == 0:
         print(f"[cvm_tpu] WARNING: no checkpoint restored from "
-              f"{args.workdir}/checkpoints — evaluating fresh init", file=sys.stderr)
+              f"{ckpt_dir} — evaluating fresh init", file=sys.stderr)
 
     if args.data == "synthetic":
         import numpy as np

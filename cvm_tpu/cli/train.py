@@ -35,6 +35,16 @@ def main(argv=None):
         help="enable jax NaN checking (SURVEY.md §5 sanitizer mode)",
     )
     parser.add_argument(
+        "--keep_best", default=None, metavar="METRIC",
+        help="with --eval_every: additionally keep the single best checkpoint "
+             "by this eval metric (e.g. mAP, miou, delta1, loss_photo) in "
+             "<workdir>/best — self-describing, loadable by "
+             "cli.evaluate/infer/export via --checkpoint_dir <workdir>/best",
+    )
+    parser.add_argument("--keep_best_mode", default="max",
+                        choices=["max", "min"],
+                        help="whether higher (max) or lower (min) is better")
+    parser.add_argument(
         "--profile_steps", type=int, default=0, metavar="N",
         help="capture a jax.profiler trace of N steady-state training steps "
              "to <workdir>/trace (after a short warmup so compiles stay out "
@@ -58,6 +68,9 @@ def main(argv=None):
     parser.add_argument("--process_id", type=int, default=None)
     args, overrides = parser.parse_known_args(argv)
 
+    if args.keep_best and args.eval_every <= 0:
+        parser.error("--keep_best requires --eval_every (the best checkpoint "
+                     "is selected by the eval metric)")
     if args.coordinator is not None and (
             args.num_processes is None or args.process_id is None):
         # Passing None into jax.distributed.initialize yields an opaque
@@ -166,6 +179,13 @@ def main(argv=None):
     print(f"[cvm_tpu] model={args.model} devices={jax.device_count()} "
           f"start_step={int(trainer.state.step)}", flush=True)
 
+    best = None
+    if args.keep_best:
+        from cvm_tpu.train.checkpoints import BestCheckpoint
+
+        best = BestCheckpoint(f"{args.workdir}/best", args.keep_best,
+                              args.keep_best_mode, params_cfg=cfg)
+
     def run_eval():
         from cvm_tpu.train.evaluate import evaluate_model
 
@@ -192,6 +212,16 @@ def main(argv=None):
         print(f"[cvm_tpu] eval@{int(trainer.state.step)}: {m}", flush=True)
         if trainer.metrics_writer is not None:
             trainer.metrics_writer.write(int(trainer.state.step), {f"val_{k}": v for k, v in m.items()})
+        if best is not None:
+            if args.keep_best not in m:
+                print(f"[cvm_tpu] --keep_best {args.keep_best!r} not in eval "
+                      f"metrics {sorted(m)} — no best checkpoint recorded",
+                      file=sys.stderr, flush=True)
+            elif best.update(int(trainer.state.step), trainer.state,
+                             m[args.keep_best]):
+                print(f"[cvm_tpu] new best {args.keep_best}="
+                      f"{m[args.keep_best]:.4f} @step {int(trainer.state.step)}"
+                      f" -> {args.workdir}/best", flush=True)
         return m
 
     nc = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 3))
@@ -231,6 +261,8 @@ def main(argv=None):
         # batch): compare decode against the device step to spot a
         # host-decode-bound run at a glance.
         print(f"[cvm_tpu] input pipeline: {loader.stats()}", flush=True)
+    if best is not None:
+        best.wait()  # async Orbax write must commit before the process exits
     print(f"[cvm_tpu] done: {metrics}", flush=True)
     return 0
 

@@ -55,6 +55,54 @@ class CheckpointManager:
         self._mngr.close()
 
 
+class BestCheckpoint:
+    """Keep the single best-by-eval-metric checkpoint (``--keep_best``).
+
+    A second keep-1 manager under ``directory`` plus a ``best.json`` sidecar
+    ({metric, value, step}) so the bar survives process restarts (including
+    ``--auto_restart`` re-execs) and the artifact is self-describing for
+    cli.evaluate / cli.export / cli.infer (params.json is written alongside,
+    like any checkpoint dir).
+    """
+
+    def __init__(self, directory: str, metric: str, mode: str = "max",
+                 params_cfg=None):
+        assert mode in ("max", "min"), mode
+        self.metric = metric
+        self.mode = mode
+        self._mngr = CheckpointManager(directory, keep=1, params_cfg=params_cfg)
+        self._meta = os.path.join(self._mngr.directory, "best.json")
+        self.best: Optional[float] = None
+        if os.path.exists(self._meta):
+            try:
+                with open(self._meta) as f:
+                    d = json.load(f)
+                if d.get("metric") == metric and d.get("mode", "max") == mode:
+                    self.best = float(d["value"])
+            except Exception:
+                pass  # unreadable sidecar: start fresh rather than crash
+
+    def update(self, step: int, state: Any, value: float) -> bool:
+        """Save ``state`` iff ``value`` beats the stored best. Returns True
+        when a new best was recorded."""
+        value = float(value)
+        better = self.best is None or (
+            value > self.best if self.mode == "max" else value < self.best)
+        if not better:
+            return False
+        self.best = value
+        self._mngr.save(int(step), state)
+        tmp = self._meta + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"metric": self.metric, "mode": self.mode,
+                       "value": value, "step": int(step)}, f)
+        os.replace(tmp, self._meta)
+        return True
+
+    def wait(self) -> None:
+        self._mngr.wait()
+
+
 def load_params_cfg(directory: str, params_cls):
     """Rebuild the typed Params object stored next to the checkpoints."""
     with open(os.path.join(os.path.abspath(directory), "params.json")) as f:

@@ -60,7 +60,7 @@ if [[ ! -e "$OUT/flagship_512.ok" ]]; then
   echo "== flagship_512 =="
   if python scripts/remeasure.py --max_wait "${MEASURE_MAX_WAIT:-900}" --no_post -- \
       -m cvm_tpu.cli.train --model centernet --data synthetic \
-      --steps 5000 --eval_every 2500 --eval_batches 12 \
+      --steps 5000 --eval_every 2500 --eval_batches 12 --keep_best mAP \
       --workdir runs/flagship_512 --pad_hw 512,512 \
       --checkpoint_every 500 --log_every 200 --auto_restart 3 \
       --num_classes 10 --max_objects 16 --batch_size 16 \

@@ -99,3 +99,46 @@ def test_ema_flag_flip_across_checkpoints(tmp_path):
     assert t2.state.ema_params == {}
     m = t2.fit(it, 1)
     assert np.isfinite(m["loss"])
+
+
+def test_keep_best_checkpoint(tmp_path):
+    """BestCheckpoint keeps exactly the best-by-metric state and the bar
+    survives a process restart (best.json sidecar); cli.train wires it via
+    --keep_best/--eval_every."""
+    from cvm_tpu.train.checkpoints import BestCheckpoint
+
+    spec = get_model("semseg")
+    cfg = spec.params_cls(
+        input_hw=(32, 32), num_classes=3, backbone="tiny", decoder_features=16,
+        class_weights=(1.0, 1.0, 1.0), warmup_steps=2, total_steps=100,
+    )
+    tr = Trainer(spec, cfg, log_every=1)
+    it = synthetic_iterator(0, 8, (48, 48), num_classes=3)
+    tr.init_state(next(it))
+
+    d = str(tmp_path / "best")
+    b = BestCheckpoint(d, "miou", "max", params_cfg=cfg)
+    assert b.update(1, tr.state, 0.50)       # first value always records
+    assert not b.update(2, tr.state, 0.40)   # worse: ignored
+    assert b.update(3, tr.state, 0.75)       # better: replaces
+    b.wait()
+
+    # The bar persists across a fresh process (auto-restart semantics)...
+    b2 = BestCheckpoint(d, "miou", "max", params_cfg=cfg)
+    assert b2.best == 0.75
+    assert not b2.update(4, tr.state, 0.60)
+    # ...and a different metric/mode starts a fresh bar rather than
+    # comparing apples to oranges.
+    b3 = BestCheckpoint(d, "loss", "min", params_cfg=cfg)
+    assert b3.best is None
+
+    # The directory is a normal self-describing checkpoint dir: params.json
+    # + the stored state restores through the standard manager.
+    assert load_params_cfg(d, spec.params_cls).num_classes == 3
+    mgr = CheckpointManager(d, keep=1)
+    assert mgr.latest_step() == 3
+    restored = mgr.restore_latest(tr.state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(tr.state.params)[0]),
+    )
