@@ -120,6 +120,16 @@ def _failure_payload(reason: str) -> dict:
         # it IS the new last-good.
         _save_last_good({k: v for k, v in payload.items()
                          if k not in ("error", "stage")})
+    try:
+        # The watcher's probe log, when present, shows WHETHER the tunnel was
+        # degraded all along or only at this instant — context that turns an
+        # honest zero into an interpretable one.
+        with open(os.path.join(REPO, "runs", "PROBE_LAST")) as f:
+            hist = [ln.strip() for ln in f if ln.strip()]
+        if hist:
+            payload["probe_history_tail"] = hist[-6:]
+    except OSError:
+        pass
     cached = _load_last_good()
     if cached and isinstance(cached.get("result"), dict):
         # An honest refusal must still carry signal: attach the last healthy
