@@ -115,6 +115,19 @@ def main(batch_size: int = 8, iters: int = 20, input_hw=None,
             out = model.apply(variables, x, train=False)
         return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
 
+    # Space-to-depth stem ablation (DESIGN §9 "epilogue/space-to-depth"
+    # lever, VERDICT r2 #4 / r3 #4): same architecture with the plain
+    # stride-2 RGB stem — separate params (stem kernel reads 3 channels,
+    # not 12), so it gets its own init.
+    flat_model = spec.create_model(cfg.replace(space_to_depth_stem=False))
+    flat_vars = flat_model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, *cfg.input_hw, 3)), train=False)
+    flat_vars = jax.device_put(flat_vars)
+
+    def fwd_flat_stem(variables, x):
+        out = flat_model.apply(variables, x, train=False)
+        return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
+
     def _compiled_bytes(compiled) -> float:
         try:
             ca = compiled.cost_analysis()
@@ -130,7 +143,8 @@ def main(batch_size: int = 8, iters: int = 20, input_hw=None,
                 ("fold_bn", fwd_fold, folded_vars),
                 ("w8a8", fwd_w8a8, variables),
                 ("w8a8_static", fwd_w8a8_static, variables),
-                ("fold_bn+w8a8", fwd_fold_w8a8, folded_vars))
+                ("fold_bn+w8a8", fwd_fold_w8a8, folded_vars),
+                ("flat_stem", fwd_flat_stem, flat_vars))
     for name, fn, vs in variants:
         jfn = jax.jit(fn)
         dt = _time_fn(jfn, [(vs, x) for x in xs], iters=iters)

@@ -62,6 +62,7 @@ class Backbone(nn.Module):
         return feats
 
 
-def make_backbone(name: str) -> Backbone:
+def make_backbone(name: str, space_to_depth_stem: bool = True) -> Backbone:
     widths, depths = BACKBONE_SPECS[name]
-    return Backbone(widths=widths, depths=depths)
+    return Backbone(widths=widths, depths=depths,
+                    space_to_depth_stem=space_to_depth_stem)

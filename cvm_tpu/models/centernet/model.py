@@ -27,7 +27,9 @@ class CenterNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         p = self.params
-        feats = make_backbone(p.backbone)(x, train)
+        feats = make_backbone(
+            p.backbone, getattr(p, "space_to_depth_stem", True)
+        )(x, train)
         # Decode c5 (stride 32) up to stride `p.stride` with skip connections.
         h = feats["c5"]
         skips = {16: feats["c4"], 8: feats["c3"], 4: feats["c2"], 2: feats["c1"]}

@@ -30,7 +30,9 @@ class MultitaskNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         p = self.params
         H, W = x.shape[1], x.shape[2]
-        feats = make_backbone(p.backbone)(x, train)
+        feats = make_backbone(
+            p.backbone, getattr(p, "space_to_depth_stem", True)
+        )(x, train)
         f = p.neck_features
 
         # Shared decoder trunk: stride 32 → 4.

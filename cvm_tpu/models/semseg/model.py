@@ -28,7 +28,9 @@ class SemsegNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.params
-        feats = make_backbone(p.backbone)(x, train)
+        feats = make_backbone(
+            p.backbone, getattr(p, "space_to_depth_stem", True)
+        )(x, train)
         h = feats["c5"]
         f = p.decoder_features
         h = UpBlock(f * 4, name="up16")(h, feats["c4"], train)

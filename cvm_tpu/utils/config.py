@@ -50,6 +50,11 @@ class BaseParams:
     # as a fraction of 255, and 3x3-blur probability (both 0 = off).
     aug_noise_std: float = 0.0
     aug_blur_prob: float = 0.0
+    # Space-to-depth stem (backbones.py): stride-1 conv on (H/2, W/2, 12)
+    # instead of a stride-2 conv on RGB — same receptive geometry, 4x MXU
+    # lane utilization. Off = plain stride-2 RGB stem (the DESIGN §9
+    # ablation lever; param shapes differ, so set it before init).
+    space_to_depth_stem: bool = True
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

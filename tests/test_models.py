@@ -30,6 +30,24 @@ def test_centernet_forward():
     assert "batch_stats" in variables
 
 
+def test_flat_stem_flag():
+    """space_to_depth_stem=False swaps the stem for a plain stride-2 RGB
+    conv (the DESIGN §9 ablation lever): different stem param shape, same
+    output geometry."""
+    spec = get_model("centernet")
+    kw = dict(input_hw=(64, 64), num_classes=4, backbone="tiny",
+              neck_features=32, head_features=16)
+    x = jnp.zeros((2, 64, 64, 3))
+    _, v_s2d, out_s2d = _init_and_apply(
+        spec, spec.params_cls(**kw), x)
+    _, v_flat, out_flat = _init_and_apply(
+        spec, spec.params_cls(**kw, space_to_depth_stem=False), x)
+    k_s2d = v_s2d["params"]["Backbone_0"]["stem"]["conv"]["kernel"]
+    k_flat = v_flat["params"]["Backbone_0"]["stem"]["conv"]["kernel"]
+    assert k_s2d.shape[2] == 12 and k_flat.shape[2] == 3
+    assert out_flat["heatmap"].shape == out_s2d["heatmap"].shape
+
+
 def test_semseg_forward():
     spec = get_model("semseg")
     p = spec.params_cls(input_hw=(64, 128), backbone="tiny", decoder_features=16)
