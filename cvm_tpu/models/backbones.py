@@ -62,6 +62,24 @@ class Backbone(nn.Module):
         return feats
 
 
+def validate_input_hw(hw, divisor: int = 32) -> None:
+    """Fail fast on input sizes the pyramid cannot halve cleanly.
+
+    The stem + downsampling stages + decoder skip-concats need every
+    intermediate resolution to stay even; an indivisible input (e.g. 48)
+    otherwise surfaces as an opaque shape-mismatch concatenate error deep in
+    the neck. All shipped configs (512², 640×256, 128², 96², 64², 32²) are
+    multiples of 32.
+    """
+    h, w = int(hw[0]), int(hw[1])
+    if h % divisor or w % divisor:
+        raise ValueError(
+            f"input_hw must be multiples of {divisor} (stem + downsampling "
+            f"pyramid + decoder skip alignment need even intermediate "
+            f"resolutions); got {(h, w)}"
+        )
+
+
 def make_backbone(name: str, space_to_depth_stem: bool = True) -> Backbone:
     widths, depths = BACKBONE_SPECS[name]
     return Backbone(widths=widths, depths=depths,

@@ -13,7 +13,7 @@ from typing import Dict
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cvm_tpu.models.backbones import make_backbone
+from cvm_tpu.models.backbones import make_backbone, validate_input_hw
 from cvm_tpu.models.layers import Head, UpBlock
 from cvm_tpu.models.centernet.params import CenternetParams
 
@@ -55,4 +55,5 @@ class CenterNet(nn.Module):
 
 def create_model(params: CenternetParams) -> CenterNet:
     """Reference-compatible zoo entry point."""
+    validate_input_hw(params.input_hw)
     return CenterNet(params)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cvm_tpu.models.backbones import make_backbone
+from cvm_tpu.models.backbones import make_backbone, validate_input_hw
 from cvm_tpu.models.layers import Head, UpBlock
 from cvm_tpu.models.depth.params import DepthParams
 from cvm_tpu.ops.decode import upsample_bilinear
@@ -54,4 +54,5 @@ class DepthNet(nn.Module):
 
 def create_model(params: DepthParams) -> DepthNet:
     """Reference-compatible zoo entry point."""
+    validate_input_hw(params.input_hw)
     return DepthNet(params)

@@ -94,6 +94,10 @@ class DmdsModel(nn.Module):
         }
 
 
+from cvm_tpu.models.backbones import validate_input_hw
+
+
 def create_model(params: DmdsParams) -> DmdsModel:
     """Reference-compatible zoo entry point."""
+    validate_input_hw(params.input_hw)
     return DmdsModel(params)

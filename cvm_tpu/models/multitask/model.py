@@ -14,7 +14,7 @@ from typing import Dict
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cvm_tpu.models.backbones import make_backbone
+from cvm_tpu.models.backbones import make_backbone, validate_input_hw
 from cvm_tpu.models.layers import Head, UpBlock, upsample2x
 from cvm_tpu.models.multitask.params import MultitaskParams
 from cvm_tpu.models.depth.model import sigmoid_to_depth
@@ -61,4 +61,5 @@ class MultitaskNet(nn.Module):
 
 def create_model(params: MultitaskParams) -> MultitaskNet:
     """Reference-compatible zoo entry point."""
+    validate_input_hw(params.input_hw)
     return MultitaskNet(params)

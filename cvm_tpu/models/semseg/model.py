@@ -11,7 +11,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cvm_tpu.models.backbones import make_backbone
+from cvm_tpu.models.backbones import make_backbone, validate_input_hw
 from cvm_tpu.models.layers import Head, UpBlock, upsample2x
 from cvm_tpu.models.semseg.params import SemsegParams
 
@@ -45,4 +45,5 @@ class SemsegNet(nn.Module):
 def create_model(params: SemsegParams, mesh: Any = None) -> SemsegNet:
     """Reference-compatible zoo entry point (+ optional mesh for the
     spatial-sharding execution path)."""
+    validate_input_hw(params.input_hw)
     return SemsegNet(params, mesh=mesh)

@@ -48,6 +48,16 @@ def test_flat_stem_flag():
     assert out_flat["heatmap"].shape == out_s2d["heatmap"].shape
 
 
+def test_indivisible_input_hw_fails_fast():
+    """48x48 halves to odd intermediates and used to die with an opaque
+    concatenate error deep in the neck — every zoo entry now validates at
+    create_model time."""
+    for name in ("centernet", "semseg", "depth", "multitask", "dmds"):
+        spec = get_model(name)
+        with pytest.raises(ValueError, match="multiples of 32"):
+            spec.create_model(spec.params_cls(input_hw=(48, 48)))
+
+
 def test_semseg_forward():
     spec = get_model("semseg")
     p = spec.params_cls(input_hw=(64, 128), backbone="tiny", decoder_features=16)
