@@ -14,8 +14,13 @@ import jax.numpy as jnp
 
 from cvm_tpu.models.centernet.params import CenternetParams
 from cvm_tpu.ops.heatmap import CenternetTargets, render_centernet_targets_batch
-from cvm_tpu.ops.image import map_boxes_to_output
-from cvm_tpu.pipeline.preprocess import aug_from_params, preprocess_batch
+from cvm_tpu.ops.image import map_boxes_to_output, rotate_boxes
+from cvm_tpu.pipeline.preprocess import (
+    aug_from_params,
+    preprocess_batch,
+    rotate_image_batch,
+    sample_rotation,
+)
 
 
 def make_processor(params: CenternetParams, train: bool):
@@ -34,12 +39,17 @@ def make_processor(params: CenternetParams, train: bool):
 
     def process(key, batch) -> Tuple[jnp.ndarray, CenternetTargets]:
         images, rois = preprocess_batch(key, batch, out_hw, train, aug)
-        boxes = (
-            jax.vmap(map_boxes_to_output)(
-                batch["boxes"], rois
-            )
-            / params.stride
-        )
+        out_boxes = jax.vmap(map_boxes_to_output)(batch["boxes"], rois)
+        angles = sample_rotation(key, images.shape[0], aug, train)
+        if angles is not None:
+            # Rotation augmentation: image and boxes through the same roll
+            # (boxes become the AABB of their rotated corners).
+            images = rotate_image_batch(images, angles)
+            center = ((out_hw[1] - 1) / 2.0, (out_hw[0] - 1) / 2.0)  # (cx, cy)
+            out_boxes = jax.vmap(
+                lambda b, a: rotate_boxes(b, a, center)
+            )(out_boxes, angles)
+        boxes = out_boxes / params.stride
         K = batch["boxes"].shape[1]
         valid = jnp.arange(K)[None, :] < batch["num_objects"][:, None]
         extra_values = None

@@ -13,7 +13,12 @@ import jax.numpy as jnp
 
 from cvm_tpu.models.depth.params import DepthParams
 from cvm_tpu.ops.image import sample_nearest
-from cvm_tpu.pipeline.preprocess import aug_from_params, preprocess_batch
+from cvm_tpu.pipeline.preprocess import (
+    aug_from_params,
+    preprocess_batch,
+    rotate_image_batch,
+    sample_rotation,
+)
 
 
 def make_processor(params: DepthParams, train: bool):
@@ -27,6 +32,13 @@ def make_processor(params: DepthParams, train: bool):
             return sample_nearest(d, roi, out_hw, valid_hw=(hw[0], hw[1]), pad_value=0.0)
 
         depth = jax.vmap(one)(batch["depth"], batch["image_hw"], rois)
+        angles = sample_rotation(key, images.shape[0], aug, train)
+        if angles is not None:
+            # Camera roll keeps per-pixel depth valid; GT rotates nearest
+            # (pad 0 = invalid, masked by the loss).
+            images = rotate_image_batch(images, angles)
+            depth = rotate_image_batch(depth, angles, pad_value=0.0,
+                                       method="nearest")
         return images, {"depth": depth[..., None]}
 
     return process

@@ -13,7 +13,12 @@ import jax.numpy as jnp
 
 from cvm_tpu.models.semseg.params import SemsegParams
 from cvm_tpu.ops.image import sample_nearest
-from cvm_tpu.pipeline.preprocess import aug_from_params, preprocess_batch
+from cvm_tpu.pipeline.preprocess import (
+    aug_from_params,
+    preprocess_batch,
+    rotate_image_batch,
+    sample_rotation,
+)
 
 
 def make_processor(params: SemsegParams, train: bool):
@@ -31,6 +36,14 @@ def make_processor(params: SemsegParams, train: bool):
         classes = jax.vmap(one)(
             batch["mask"].astype(jnp.int32), batch["image_hw"], rois
         )
+        angles = sample_rotation(key, images.shape[0], aug, train)
+        if angles is not None:
+            # Rotation augmentation: mask rides the same roll (nearest, pad
+            # = ignore so rotated-in corners don't train as a real class).
+            images = rotate_image_batch(images, angles)
+            classes = rotate_image_batch(
+                classes, angles, pad_value=params.ignore_index, method="nearest"
+            )
         return images, {"classes": classes}
 
     return process

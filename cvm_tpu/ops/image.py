@@ -278,6 +278,85 @@ def map_boxes_to_output(boxes: jnp.ndarray, roi: Roi) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Rotation augmentation (opt-in, train-only): the fused ROI resample is
+# separable (rows-then-columns gathers), so rotation cannot fold into it;
+# it runs as one extra 2D gather pass over the model-input-resolution image
+# — compiled in only when aug_rotate_deg > 0, so serving/eval programs are
+# untouched.
+# ---------------------------------------------------------------------------
+
+
+def rotate_points(points: jnp.ndarray, angle, center_xy) -> jnp.ndarray:
+    """Rotate (..., 2) [x, y] points by ``angle`` (radians, CCW in image
+    coords: a point p maps to R(angle)(p - c) + c) about center (cx, cy)."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    x = points[..., 0] - center_xy[0]
+    y = points[..., 1] - center_xy[1]
+    return jnp.stack(
+        [c * x - s * y + center_xy[0], s * x + c * y + center_xy[1]], axis=-1
+    )
+
+
+def rotate_boxes(boxes: jnp.ndarray, angle, center_xy) -> jnp.ndarray:
+    """Axis-aligned bbox of the rotated corners of (..., 4) [x0,y0,x1,y1]
+    boxes — the standard label transform under rotation augmentation."""
+    x0, y0, x1, y1 = (boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3])
+    corners = jnp.stack(
+        [jnp.stack([x0, y0], -1), jnp.stack([x1, y0], -1),
+         jnp.stack([x0, y1], -1), jnp.stack([x1, y1], -1)], axis=-2
+    )  # (..., 4, 2)
+    r = rotate_points(corners, angle, center_xy)
+    return jnp.concatenate([r.min(axis=-2), r.max(axis=-2)], axis=-1)
+
+
+def rotate_image(
+    image: jnp.ndarray, angle, pad_value=0.0, method: str = "bilinear"
+) -> jnp.ndarray:
+    """Rotate (H, W[, C]) by ``angle`` about the image center (same forward
+    convention as :func:`rotate_points`); out-of-frame pixels = pad_value.
+
+    ``method="nearest"`` keeps the input dtype (masks / class ids / sparse
+    depth); bilinear returns float32.
+    """
+    H, W = image.shape[0], image.shape[1]
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    dx, dy = xx - cx, yy - cy
+    # Inverse map: output pixel dst shows the input at R(-angle)(dst - c) + c.
+    sxf = c * dx + s * dy + cx
+    syf = -s * dx + c * dy + cy
+    inside = (sxf >= -0.5) & (sxf <= W - 0.5) & (syf >= -0.5) & (syf <= H - 0.5)
+    if method == "nearest":
+        si = jnp.clip(jnp.round(syf).astype(jnp.int32), 0, H - 1)
+        sj = jnp.clip(jnp.round(sxf).astype(jnp.int32), 0, W - 1)
+        out = image[si, sj]
+        mask = inside if out.ndim == 2 else inside[..., None]
+        return jnp.where(mask, out, jnp.asarray(pad_value, image.dtype))
+    img = image.astype(jnp.float32)
+    ylo = jnp.floor(syf)
+    xlo = jnp.floor(sxf)
+    fy, fx = syf - ylo, sxf - xlo
+    y0i = jnp.clip(ylo.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    x0i = jnp.clip(xlo.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    a, b = img[y0i, x0i], img[y0i, x1i]
+    cc, d = img[y1i, x0i], img[y1i, x1i]
+    if img.ndim == 3:
+        fy, fx = fy[..., None], fx[..., None]
+        inside = inside[..., None]
+    top = a + (b - a) * fx
+    bot = cc + (d - cc) * fx
+    out = top + (bot - top) * fy
+    return jnp.where(inside, out, jnp.float32(pad_value)).astype(image.dtype
+        if jnp.issubdtype(image.dtype, jnp.floating) else jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # Photometric augmentation + normalization (pure VPU work; fuses into the
 # resample output under jit).
 # ---------------------------------------------------------------------------

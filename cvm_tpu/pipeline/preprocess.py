@@ -36,6 +36,7 @@ class AugConfig(NamedTuple):
     hue: float = 0.05
     noise_std: float = 0.0   # max gaussian noise sigma (fraction of 255)
     blur_prob: float = 0.0   # probability of a 3x3 binomial blur
+    rotate_deg: float = 0.0  # max |roll| in degrees (0 = rotation pass off)
 
 
 def aug_from_params(params, flip_prob=None) -> "AugConfig":
@@ -47,7 +48,29 @@ def aug_from_params(params, flip_prob=None) -> "AugConfig":
         params.aug_flip_prob if flip_prob is None else flip_prob,
         noise_std=getattr(params, "aug_noise_std", 0.0),
         blur_prob=getattr(params, "aug_blur_prob", 0.0),
+        rotate_deg=getattr(params, "aug_rotate_deg", 0.0),
     )
+
+
+def sample_rotation(key, batch_size: int, aug: "AugConfig", train: bool):
+    """Per-sample roll angles (radians) for rotation augmentation, or None
+    when it is off — processors gate the whole rotate pass on None so the
+    default program is unchanged."""
+    if not train or aug.rotate_deg <= 0.0 or key is None:
+        return None
+    r = aug.rotate_deg * jnp.pi / 180.0
+    return jax.random.uniform(
+        jax.random.fold_in(key, 0x526F74), (batch_size,), jnp.float32, -r, r
+    )
+
+
+def rotate_image_batch(images, angles, pad_value=0.0, method="bilinear"):
+    """vmapped ops.image.rotate_image over the batch."""
+    from cvm_tpu.ops.image import rotate_image
+
+    return jax.vmap(
+        lambda im, a: rotate_image(im, a, pad_value, method)
+    )(images, angles)
 
 
 def make_rois(

@@ -50,6 +50,12 @@ class BaseParams:
     # as a fraction of 255, and 3x3-blur probability (both 0 = off).
     aug_noise_std: float = 0.0
     aug_blur_prob: float = 0.0
+    # Rotation (roll) augmentation: max |angle| in degrees, applied
+    # post-resample to the image AND the labels (det boxes take the AABB of
+    # the rotated corners; masks/depth rotate nearest). 0 = off (the rotate
+    # pass is then not even traced). DMDS ignores it — its two-frame
+    # photometric geometry assumes an unrolled camera.
+    aug_rotate_deg: float = 0.0
     # Space-to-depth stem (backbones.py): stride-1 conv on (H/2, W/2, 12)
     # instead of a stride-2 conv on RGB — same receptive geometry, 4x MXU
     # lane utilization. Off = plain stride-2 RGB stem (the DESIGN §9

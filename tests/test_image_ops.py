@@ -172,3 +172,72 @@ def test_photometric_noise_and_blur(rng):
     # blur_prob=0 never blurs.
     outnb = photometric_augment(key, img, 0.0, 0.0, 0.0, 0.0, blur_prob=0.0)
     np.testing.assert_allclose(np.asarray(outnb), np.asarray(img), atol=1e-3)
+
+
+def test_rotate_image_exact_quarter_turn():
+    """+90 deg is an exact index permutation under nearest: top of the image
+    moves to the right (clockwise on screen — x right, y down)."""
+    from cvm_tpu.ops.image import rotate_image
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (9, 9), dtype=np.uint8)
+    out = np.asarray(rotate_image(jnp.asarray(img), jnp.pi / 2, method="nearest"))
+    np.testing.assert_array_equal(out, np.rot90(img, k=-1))
+    # angle 0 = identity (bilinear too, within float rounding)
+    out0 = np.asarray(rotate_image(jnp.asarray(img).astype(jnp.float32), 0.0))
+    np.testing.assert_allclose(out0, img.astype(np.float32), atol=1e-4)
+
+
+def test_rotate_boxes_tracks_rotated_content():
+    """rotate_boxes must bound exactly the pixels rotate_image moves: paint a
+    rectangle, rotate both, compare the nonzero extent to the mapped box."""
+    from cvm_tpu.ops.image import rotate_boxes, rotate_image
+
+    H = W = 64
+    img = np.zeros((H, W), np.float32)
+    x0, y0, x1, y1 = 10, 22, 30, 34
+    img[y0:y1, x0:x1] = 1.0
+    angle = np.deg2rad(17.0)
+    rot = np.asarray(rotate_image(jnp.asarray(img), angle, method="nearest"))
+    ys, xs = np.nonzero(rot > 0.5)
+    # Box corners use pixel-edge coords [x0, y0, x1, y1) like the labels.
+    box = np.asarray(rotate_boxes(
+        jnp.asarray([[x0, y0, x1, y1]], jnp.float32), angle,
+        ((W - 1) / 2.0, (H - 1) / 2.0)))[0]
+    assert abs(xs.min() - box[0]) <= 1.5 and abs(ys.min() - box[1]) <= 1.5
+    assert abs(xs.max() + 1 - box[2]) <= 1.5 and abs(ys.max() + 1 - box[3]) <= 1.5
+
+
+def test_rotation_augmentation_in_processors():
+    """aug_rotate_deg wires image+GT through the same roll in every
+    processor; default 0 keeps the program rotation-free."""
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng, 2, (96, 96), num_classes=3, max_objects=6)
+    key = jax.random.PRNGKey(1)
+
+    spec = get_model("semseg")
+    cfg = spec.params_cls(input_hw=(64, 64), num_classes=3, backbone="tiny",
+                          decoder_features=16, class_weights=(1.0, 1.0, 1.0),
+                          aug_rotate_deg=25.0, aug_flip_prob=0.0)
+    images, tgt = jax.jit(spec.make_processor(cfg, train=True))(key, batch)
+    assert images.shape == (2, 64, 64, 3)
+    cls = np.asarray(tgt["classes"])
+    assert cls.shape == (2, 64, 64)
+    # A 25-deg roll rotates padding into at least one corner → ignore_index.
+    corners = cls[:, [0, 0, -1, -1], [0, -1, 0, -1]]
+    assert (corners == cfg.ignore_index).any()
+
+    cfg0 = cfg.replace(aug_rotate_deg=0.0)
+    img0, tgt0 = jax.jit(spec.make_processor(cfg0, train=True))(key, batch)
+    assert np.isfinite(np.asarray(img0)).all()
+
+    spec = get_model("centernet")
+    ccfg = spec.params_cls(input_hw=(64, 64), num_classes=3, max_objects=6,
+                           backbone="tiny", neck_features=32, head_features=16,
+                           aug_rotate_deg=25.0)
+    imgs, targets = jax.jit(spec.make_processor(ccfg, train=True))(key, batch)
+    assert np.isfinite(np.asarray(targets.heatmap)).all()
+    assert float(np.asarray(targets.heatmap).max()) > 0.5  # objects survived
