@@ -33,6 +33,12 @@ def make_processor(params: CenternetParams, train: bool):
     from cvm_tpu.utils.backend import is_tpu_backend
 
     aug = aug_from_params(params)
+    if params.with_3d and aug.rotate_deg > 0.0:
+        raise ValueError(
+            "aug_rotate_deg is incompatible with with_3d: monocular yaw and "
+            "back-projection assume an unrolled camera (keep rotation off "
+            "for 3D configs, like the tight aug_scale_range guidance)"
+        )
     out_hw = params.input_hw
     map_hw = params.map_hw
     use_pallas = params.use_pallas_splat and is_tpu_backend()

@@ -55,6 +55,15 @@ def test_3d_forward_and_loss_and_train_step():
     assert "loss_dep3d" in metrics and "loss_rot" in metrics
 
 
+def test_rotation_augment_rejected_for_3d():
+    # Roll augmentation breaks the unrolled-camera assumption behind
+    # monocular yaw + back-projection; the processor must fail loudly.
+    spec, p = _cfg3d()
+    p = p.replace(aug_rotate_deg=5.0)
+    with pytest.raises(ValueError, match="aug_rotate_deg"):
+        spec.make_processor(p, train=True)
+
+
 def test_decode_with_extras_gathers_at_peaks():
     Hs = Ws = 16
     hm = jnp.zeros((1, Hs, Ws, 1)).at[0, 5, 7, 0].set(1.0)
