@@ -109,6 +109,25 @@ import contextlib
 from flax import linen as nn
 
 
+def conv_geometry(mod: "nn.Conv") -> Dict[str, Any]:
+    """lax.conv_general_dilated kwargs reproducing an nn.Conv's geometry —
+    the one place that maps flax conv attributes onto lax (shared by the
+    int8 inference paths here and train/qat.py's fake-quant conv)."""
+
+    def _pair(v):
+        if v is None:
+            return (1, 1)
+        return v if isinstance(v, (tuple, list)) else (v, v)
+
+    return dict(
+        window_strides=_pair(mod.strides), padding=mod.padding,
+        lhs_dilation=_pair(mod.input_dilation),
+        rhs_dilation=_pair(mod.kernel_dilation),
+        feature_group_count=mod.feature_group_count,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def _int8_conv(mod: "nn.Conv", x):
     from jax import lax
 
@@ -123,18 +142,8 @@ def _int8_conv(mod: "nn.Conv", x):
     sw = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1))) / 127.0 + 1e-12
     wq = jnp.round(jnp.clip(kf / sw, -127, 127)).astype(jnp.int8)
 
-    def _pair(v):
-        if v is None:
-            return (1, 1)
-        return v if isinstance(v, (tuple, list)) else (v, v)
-
     y = lax.conv_general_dilated(
-        xq, wq, window_strides=_pair(mod.strides), padding=mod.padding,
-        lhs_dilation=_pair(mod.input_dilation),
-        rhs_dilation=_pair(mod.kernel_dilation),
-        feature_group_count=mod.feature_group_count,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
+        xq, wq, preferred_element_type=jnp.int32, **conv_geometry(mod),
     )
     y = y.astype(jnp.float32) * (sx * sw)
     if bias is not None:
@@ -233,18 +242,8 @@ def _int8_conv_static(mod: "nn.Conv", x, sx: float):
     sw = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1))) / 127.0 + 1e-12
     wq = jnp.round(jnp.clip(kf / sw, -127, 127)).astype(jnp.int8)
 
-    def _pair(v):
-        if v is None:
-            return (1, 1)
-        return v if isinstance(v, (tuple, list)) else (v, v)
-
     y = lax.conv_general_dilated(
-        xq, wq, window_strides=_pair(mod.strides), padding=mod.padding,
-        lhs_dilation=_pair(mod.input_dilation),
-        rhs_dilation=_pair(mod.kernel_dilation),
-        feature_group_count=mod.feature_group_count,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
+        xq, wq, preferred_element_type=jnp.int32, **conv_geometry(mod),
     )
     y = y.astype(jnp.float32) * (sx * sw)
     if bias is not None:

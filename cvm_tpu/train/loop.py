@@ -21,6 +21,7 @@ from jax.sharding import Mesh
 from cvm_tpu.models.registry import ModelSpec
 from cvm_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from cvm_tpu.train.optim import make_optimizer
+from cvm_tpu.train import qat
 
 
 class TrainState(struct.PyTreeNode):
@@ -61,12 +62,15 @@ def make_train_step(model, spec_loss: Callable, params_cfg, tx, processor) -> Ca
         inputs, targets = processor(k_proc, raw_batch)
 
         def loss_fn(p):
-            out, mut = model.apply(
-                {"params": p, "batch_stats": state.batch_stats},
-                inputs,
-                train=True,
-                mutable=["batch_stats"],
-            )
+            # QAT: trace the apply under the fake-quant interceptor so the
+            # loss surface includes int8 rounding noise (train/qat.py).
+            with qat.maybe_fake_quant(params_cfg):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": state.batch_stats},
+                    inputs,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
             loss, metrics = spec_loss(out, targets, params_cfg)
             return loss, (metrics, mut["batch_stats"])
 
@@ -113,9 +117,13 @@ def make_eval_step(model, spec_loss, params_cfg, processor) -> Callable:
     def eval_step(state: TrainState, raw_batch):
         inputs, targets = processor(None, raw_batch)
         p = state.ema_params if use_ema else state.params
-        out = model.apply(
-            {"params": p, "batch_stats": state.batch_stats}, inputs, train=False
-        )
+        # Under QAT, eval through the same fake-quant path: the tracked
+        # metrics then approximate the int8 serving artifact, not an fp
+        # model that will never be deployed.
+        with qat.maybe_fake_quant(params_cfg):
+            out = model.apply(
+                {"params": p, "batch_stats": state.batch_stats}, inputs, train=False
+            )
         _, metrics = spec_loss(out, targets, params_cfg)
         return metrics
 

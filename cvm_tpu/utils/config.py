@@ -56,6 +56,12 @@ class BaseParams:
     # pass is then not even traced). DMDS ignores it — its two-frame
     # photometric geometry assumes an unrolled camera.
     aug_rotate_deg: float = 0.0
+    # Quantization-aware training (train/qat.py): every conv in the compiled
+    # train/eval step runs the dynamic-int8 fake-quant path with a
+    # straight-through estimator, so `cli.export --quantize w8a8` inherits
+    # int8-grid weights. Stateless (scales recomputed in-program); typical
+    # use is a short fine-tune from an fp checkpoint with qat flipped on.
+    qat: bool = False
     # Space-to-depth stem (backbones.py): stride-1 conv on (H/2, W/2, 12)
     # instead of a stride-2 conv on RGB — same receptive geometry, 4x MXU
     # lane utilization. Off = plain stride-2 RGB stem (the DESIGN §9
