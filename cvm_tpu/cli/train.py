@@ -31,6 +31,13 @@ def main(argv=None):
                              "input), 'off', or 'H,W'")
     parser.add_argument("--eval_batches", type=int, default=20)
     parser.add_argument(
+        "--eval_images", type=int, default=0, metavar="N",
+        help="with --eval_every and --tensorboard: render N eval samples' "
+             "predictions (boxes/masks/depth via infer.visualize) into the "
+             "TensorBoard Images tab at every eval — the headless analogue "
+             "of the reference's OpenCV inspection windows (SURVEY.md §5)",
+    )
+    parser.add_argument(
         "--debug_nans", action="store_true",
         help="enable jax NaN checking (SURVEY.md §5 sanitizer mode)",
     )
@@ -71,6 +78,9 @@ def main(argv=None):
     if args.keep_best and args.eval_every <= 0:
         parser.error("--keep_best requires --eval_every (the best checkpoint "
                      "is selected by the eval metric)")
+    if args.eval_images > 0 and (args.eval_every <= 0 or not args.tensorboard):
+        parser.error("--eval_images requires --eval_every and --tensorboard "
+                     "(images land in the TB events file)")
     if args.coordinator is not None and (
             args.num_processes is None or args.process_id is None):
         # Passing None into jax.distributed.initialize yields an opaque
@@ -222,7 +232,52 @@ def main(argv=None):
                 print(f"[cvm_tpu] new best {args.keep_best}="
                       f"{m[args.keep_best]:.4f} @step {int(trainer.state.step)}"
                       f" -> {args.workdir}/best", flush=True)
+        if args.eval_images > 0 and is_proc0:
+            log_eval_images(val, variables)
         return m
+
+    _pipe_cache = {}
+
+    def log_eval_images(val, variables):
+        """Render eval-sample predictions into the TB Images tab — the
+        headless analogue of the reference's OpenCV inspection windows."""
+        import numpy as _np
+
+        from cvm_tpu.infer.pipeline import InferencePipeline
+        from cvm_tpu.infer.visualize import render_sample
+
+        try:
+            batch0 = val[0] if isinstance(val, list) else next(iter(val))
+        except StopIteration:
+            # evaluate_model drained the record loader completely.
+            print("[cvm_tpu] --eval_images: eval loader exhausted — "
+                  "skipping image summaries", file=sys.stderr, flush=True)
+            return
+        if "image" not in batch0:
+            print("[cvm_tpu] --eval_images: batch has no 'image' plane "
+                  "(raw-YUV shards) — skipping image summaries",
+                  file=sys.stderr, flush=True)
+            return
+        pipe = _pipe_cache.get("pipe")
+        if pipe is None:
+            # Built once; weights swap per eval (variables are a jit arg,
+            # so later evals reuse the compiled program).
+            pipe = InferencePipeline(spec, cfg, variables, mesh=trainer.mesh)
+            _pipe_cache["pipe"] = pipe
+        else:
+            pipe.update_variables(variables)
+        out = pipe(batch0)
+        step = int(trainer.state.step)
+        n = min(args.eval_images, int(batch0["image"].shape[0]))
+        for i in range(n):
+            vis = {k: _np.asarray(v[i]) for k, v in out.items()}
+            if "centers3d" in out and "intrinsics" in batch0:
+                vis["intrinsics"] = _np.asarray(batch0["intrinsics"][i])
+            rgb = render_sample(None, batch0["image"][i],
+                                batch0["image_hw"][i], vis)
+            trainer.metrics_writer.write_image(step, f"eval/sample_{i}", rgb)
+        print(f"[cvm_tpu] wrote {n} eval image summaries @step {step}",
+              flush=True)
 
     nc = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 3))
     metrics = {}

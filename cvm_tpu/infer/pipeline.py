@@ -86,6 +86,7 @@ class InferencePipeline:
 
         self.model = build_model(spec, params_cfg, mesh=mesh)
         self._variables = variables
+        self._plain_weights = not (fold_bn or w8a8)
         self.input_format = input_format
         out_hw = params_cfg.input_hw
         is_dmds = spec.name == "dmds"
@@ -225,6 +226,17 @@ class InferencePipeline:
                 out_shardings=repl,
             )
         self._predict = jax.jit(predict, **kw)
+
+    def update_variables(self, variables: Dict[str, Any]) -> None:
+        """Swap the served weights without retracing (variables are a jit
+        argument). Valid only for the plain fp pipeline — fold_bn/w8a8
+        pipelines bake weight transforms at build time; rebuild those."""
+        if not self._plain_weights:
+            raise ValueError(
+                "update_variables on a fold_bn/w8a8 pipeline would serve "
+                "untransformed weights — rebuild the pipeline instead"
+            )
+        self._variables = variables
 
     def __call__(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
         """batch: image (B, Hm, Wm, 3) uint8 + image_hw (B, 2); dmds adds

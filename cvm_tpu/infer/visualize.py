@@ -72,10 +72,14 @@ def _draw_wireframes(draw, centers3d, dims, yaw, intrinsics, classes, scores,
             draw.line([pts[a], pts[b]], fill=color, width=1)
 
 
-def render_sample(out_path: str, image, image_hw, outputs: Dict[str, np.ndarray],
+def render_sample(out_path: Optional[str], image, image_hw,
+                  outputs: Dict[str, np.ndarray],
                   score_threshold: float = 0.3,
-                  class_names: Optional[Sequence[str]] = None) -> None:
-    """Draw model *outputs* (pipeline predictions, original-pixel coords)."""
+                  class_names: Optional[Sequence[str]] = None
+                  ) -> Optional[np.ndarray]:
+    """Draw model *outputs* (pipeline predictions, original-pixel coords).
+    out_path=None returns the rendered uint8 RGB array instead of saving
+    (the TensorBoard image-summary path)."""
     from PIL import Image, ImageDraw
 
     h, w = int(image_hw[0]), int(image_hw[1])
@@ -120,7 +124,10 @@ def render_sample(out_path: str, image, image_hw, outputs: Dict[str, np.ndarray]
                          outputs["yaw"], outputs["intrinsics"], classes,
                          scores, score_threshold)
 
+    if out_path is None:
+        return np.asarray(img.convert("RGB"))
     img.save(out_path)
+    return None
 
 
 def _record_rgb(blobs: Dict[str, np.ndarray]) -> Optional[np.ndarray]:

@@ -38,6 +38,11 @@ class MultiWriter:
         for w in self.writers:
             w.write(step, metrics)
 
+    def write_image(self, step: int, tag: str, rgb) -> None:
+        for w in self.writers:
+            if hasattr(w, "write_image"):  # TB only; JSONL/MLflow skip
+                w.write_image(step, tag, rgb)
+
     def close(self) -> None:
         for w in self.writers:
             w.close()

@@ -11,8 +11,11 @@ package, so the writer emits the on-disk format directly:
   ``summary``=5 → repeated ``Summary.Value`` with ``tag``=1/string,
   ``simple_value``=2/float).
 
-Only scalar summaries are produced — exactly what the reference's per-epoch
-metric logging used. Files load in any stock TensorBoard.
+Scalar summaries cover the reference's per-epoch metric logging; image
+summaries (``write_image`` — ``Summary.Value.image``=4 with ``height``=1,
+``width``=2, ``colorspace``=3, ``encoded_image_string``=4 holding a
+hand-encoded PNG) cover its OpenCV-window visual inspection, headless.
+Files load in any stock TensorBoard.
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ import os
 import socket
 import struct
 import time
+import zlib
 from typing import Dict
 
 # ---------------------------------------------------------------------------
@@ -100,8 +104,29 @@ def _event(wall_time: float, step: int = 0, file_version: str = "",
     return msg
 
 
+def _png_encode(rgb) -> bytes:
+    """uint8 (H, W, 3) → PNG bytes (8-bit RGB, filter 0, one zlib stream) —
+    stdlib-only so the writer stays dependency-free."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(rgb, np.uint8))
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8 RGB, got {arr.shape}")
+    h, w = arr.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
 class TensorBoardWriter:
-    """Scalar event writer; drop-in sibling of JsonlMetricsWriter."""
+    """Scalar + image event writer; drop-in sibling of JsonlMetricsWriter."""
 
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
@@ -121,6 +146,16 @@ class TensorBoardWriter:
     def write(self, step: int, metrics: Dict[str, float]) -> None:
         clean = {k: float(v) for k, v in metrics.items()}
         self._record(_event(time.time(), step=int(step), scalars=clean))
+
+    def write_image(self, step: int, tag: str, rgb) -> None:
+        """Log a uint8 (H, W, 3) RGB image under ``tag`` (TB "Images" tab)."""
+        h, w = rgb.shape[:2]
+        img = (_f_varint(1, int(h)) + _f_varint(2, int(w))
+               + _f_varint(3, 3) + _f_bytes(4, _png_encode(rgb)))
+        value = _f_bytes(1, tag.encode()) + _f_bytes(4, img)
+        msg = (_f_double(1, time.time()) + _f_varint(2, int(step))
+               + _f_bytes(5, _f_bytes(1, value)))
+        self._record(msg)
 
     def close(self) -> None:
         self._f.close()
@@ -156,6 +191,25 @@ def _read_varint(buf: bytes, i: int):
         shift += 7
 
 
+def _parse_image(buf: bytes):
+    img = {}
+    i = 0
+    while i < len(buf):
+        key, i = _read_varint(buf, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, i = _read_varint(buf, i)
+            img["height" if field == 1 else "width" if field == 2
+                else "colorspace"] = v
+        elif wire == 2:
+            ln, i = _read_varint(buf, i)
+            img["png"] = buf[i:i + ln]
+            i += ln
+        else:
+            raise AssertionError("unexpected Image field")
+    return img
+
+
 def _parse_event(buf: bytes):
     ev = {"scalars": {}}
     i = 0
@@ -187,7 +241,7 @@ def _parse_event(buf: bytes):
                         vl, j = _read_varint(sub, j)
                         val_msg = sub[j:j + vl]
                         j += vl
-                        tag, sv = None, None
+                        tag, sv, img = None, None, None
                         m = 0
                         while m < len(val_msg):
                             k3, m = _read_varint(val_msg, m)
@@ -198,9 +252,15 @@ def _parse_event(buf: bytes):
                             elif k3 >> 3 == 2 and k3 & 7 == 5:
                                 (sv,) = struct.unpack("<f", val_msg[m:m + 4])
                                 m += 4
+                            elif k3 >> 3 == 4 and k3 & 7 == 2:
+                                il, m = _read_varint(val_msg, m)
+                                img = _parse_image(val_msg[m:m + il])
+                                m += il
                             else:
                                 raise AssertionError("unexpected Value field")
-                        if tag is not None:
+                        if tag is not None and img is not None:
+                            ev.setdefault("images", {})[tag] = img
+                        elif tag is not None:
                             ev["scalars"][tag] = sv
                     else:
                         raise AssertionError("unexpected Summary field")
