@@ -82,6 +82,7 @@ def _load_last_good() -> dict | None:
 _STATUS: dict = {"stage": "start", "tunnel_probe_ms": None, "ours": None}
 _EMIT_LOCK = threading.Lock()
 _EMITTED = False
+_BENCH_MARK: str | None = None  # runs/BENCH_RUNNING, for watchdog cleanup
 
 
 def _emit_line(payload: dict) -> bool:
@@ -106,6 +107,8 @@ def _failure_payload(reason: str) -> dict:
     }
     if _STATUS.get("tunnel_probe_ms") is not None:
         payload["tunnel_probe_ms"] = _STATUS["tunnel_probe_ms"]
+    if _STATUS.get("measuring_lock_seen"):
+        payload["measuring_lock_seen"] = True
     ours = _STATUS.get("ours")
     if ours:
         # Measurement finished but a later stage (e.g. the CPU reference
@@ -155,6 +158,14 @@ def _install_deadline_watchdog() -> threading.Timer:
             f"deadline {deadline:.0f}s exceeded at stage "
             f"'{_STATUS.get('stage')}' (tunnel probe "
             f"{_STATUS.get('tunnel_probe_ms')} ms)"))
+        # os._exit skips atexit, so drop the queue-coordination mark here —
+        # otherwise the measurement queue stays paused on a dead pid until
+        # its own staleness check clears it.
+        if _BENCH_MARK is not None:
+            try:
+                os.remove(_BENCH_MARK)
+            except OSError:
+                pass
         # The main thread may be hung inside a device RPC that never
         # returns — a daemon timer + hard exit is the only reliable out.
         os._exit(0)
@@ -480,8 +491,82 @@ def get_reference_baseline(refresh: bool = False) -> dict:
     return ref
 
 
+def _coordinate_with_measure_queue() -> None:
+    """Mutual exclusion with the background measurement queue
+    (scripts/measure_watch.sh): both sides sharing the single host core +
+    chip would corrupt both measurements (CLAUDE.md: host-side numbers
+    triple under load).
+
+    - Mark runs/BENCH_RUNNING (pid) so the queue pauses between its steps;
+      removed at exit (a stale pid is detected and cleared by the queue).
+    - If a queue session is mid-flight (runs/MEASURING, holds the watcher
+      pid), wait up to CVM_BENCH_MEASURE_LOCK_WAIT_S (default 240 s) for it
+      to finish, then proceed regardless — the driver's bench has priority,
+      and the queue's own post-probe guards its side. A MEASURING whose pid
+      is dead (watcher SIGKILLed mid-session) is stale and is cleared.
+    """
+    import atexit
+
+    if os.environ.get("CVM_BENCH_IN_QUEUE"):
+        # This bench IS a step of the measurement queue (measure_all.sh):
+        # the queue already serializes and health-gates, and the live
+        # MEASURING lock is our own session — skip coordination entirely.
+        return
+
+    global _BENCH_MARK
+    # Overridable so tests rehearse the lock protocol without touching the
+    # real watcher's runs/ directory.
+    runs = os.environ.get("CVM_BENCH_RUNS_DIR", os.path.join(REPO, "runs"))
+    os.makedirs(runs, exist_ok=True)
+    mark = os.path.join(runs, "BENCH_RUNNING")
+    with open(mark, "w") as f:
+        f.write(str(os.getpid()))
+    _BENCH_MARK = mark
+    atexit.register(lambda: os.path.exists(mark) and os.remove(mark))
+
+    def _lock_live(path: str) -> bool:
+        if not os.path.exists(path):
+            return False
+        try:
+            with open(path) as f:
+                pid = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            return True  # unreadable/empty: assume live (legacy touch-file)
+        if pid <= 0:
+            return True
+        try:
+            os.kill(pid, 0)
+            return True
+        except OSError:
+            print(f"bench: stale MEASURING lock (pid {pid} dead) — clearing",
+                  file=sys.stderr, flush=True)
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            return False
+
+    lock = os.path.join(runs, "MEASURING")
+    budget = float(os.environ.get("CVM_BENCH_MEASURE_LOCK_WAIT_S", "240"))
+    tick = float(os.environ.get("CVM_BENCH_MEASURE_LOCK_TICK_S", "5"))
+    waited = 0.0
+    while _lock_live(lock) and waited < budget:
+        if waited == 0.0:
+            print("bench: measurement queue active (runs/MEASURING) — "
+                  f"waiting up to {budget:.0f}s for the step to finish",
+                  file=sys.stderr, flush=True)
+        time.sleep(tick)
+        waited += tick
+    if os.path.exists(lock):
+        print("bench: proceeding despite active measurement queue "
+              "(host contention possible — see measuring_lock_seen)",
+              file=sys.stderr, flush=True)
+        _STATUS["measuring_lock_seen"] = True
+
+
 def main() -> int:
     _install_deadline_watchdog()
+    _coordinate_with_measure_queue()
     try:
         ours = measure_tpu()
         _STATUS["ours"] = ours
@@ -532,6 +617,10 @@ def main() -> int:
               "decode_threads", "host_cores"):
         if k in ours:
             result[k] = ours[k]
+    if _STATUS.get("measuring_lock_seen"):
+        # The measurement queue was mid-step throughout the wait budget —
+        # host-side figures (decode, baseline) may be contended-inflated.
+        result["measuring_lock_seen"] = True
     if result["value"] > 0.0:
         _save_last_good(result)
     _emit_line(result)

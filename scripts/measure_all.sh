@@ -20,11 +20,38 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
+# Child bench.py steps must not treat this queue's own MEASURING lock as
+# contention (they ARE the measurement session) — skip their coordination.
+export CVM_BENCH_IN_QUEUE=1
 
 OUT="${MEASURE_OUT:-runs/measure}"
 mkdir -p "$OUT"
 declare -A status
 ALL_OK=1
+
+# The driver's bench.py marks runs/BENCH_RUNNING while it measures; both
+# sides sharing the single host core + chip would corrupt both numbers, and
+# the driver has priority. Pause between steps while the mark is live; a
+# mark whose pid is dead is stale (bench was SIGKILLed) and is cleared.
+wait_for_bench() {
+  local waited=0 budget="${BENCH_LOCK_WAIT_S:-1800}" tick="${BENCH_LOCK_TICK_S:-15}"
+  local mark="${BENCH_MARK_PATH:-runs/BENCH_RUNNING}"
+  while [[ -e "$mark" ]]; do
+    local pid
+    pid="$(cat "$mark" 2>/dev/null || true)"
+    if [[ -n "$pid" ]] && ! kill -0 "$pid" 2>/dev/null; then
+      echo "(stale BENCH_RUNNING pid=$pid — clearing)"
+      rm -f "$mark"
+      break
+    fi
+    if (( waited >= budget )); then
+      echo "(bench still running after ${budget}s — proceeding)"
+      break
+    fi
+    if (( waited == 0 )); then echo "(driver bench active — pausing queue)"; fi
+    sleep "$tick"; waited=$((waited + tick))
+  done
+}
 
 run() { # run <name> <max_wait> <cmd...>  (MEASURE_MAX_WAIT overrides, for tests)
   local name="$1" wait="${MEASURE_MAX_WAIT:-$2}"; shift 2
@@ -33,6 +60,7 @@ run() { # run <name> <max_wait> <cmd...>  (MEASURE_MAX_WAIT overrides, for tests
     echo "== $name == already captured, skipping"
     return
   fi
+  wait_for_bench
   echo "== $name =="
   if python scripts/remeasure.py --max_wait "$wait" -- "$@" \
       > "$OUT/$name.log" 2>&1; then
@@ -57,6 +85,7 @@ run "dmds_accuracy" 900 benchmarks/accuracy_demo.py --model dmds --steps 1500
 # surviving tunnel hiccups via --auto_restart. Health-gated on entry only
 # (--no_post): a mid-run degraded window costs wall time, not correctness.
 if [[ ! -e "$OUT/flagship_512.ok" ]]; then
+  wait_for_bench
   echo "== flagship_512 =="
   if python scripts/remeasure.py --max_wait "${MEASURE_MAX_WAIT:-900}" --no_post -- \
       -m cvm_tpu.cli.train --model centernet --data synthetic \

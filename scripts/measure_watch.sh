@@ -39,7 +39,9 @@ except ValueError: print(0)
 ")"
   if [[ "$healthy" == "1" ]]; then
     echo "$(date -Is) tunnel HEALTHY — starting measurement session"
-    touch runs/MEASURING
+    # Pid inside the lock lets bench.py detect a stale MEASURING (watcher
+    # SIGKILLed mid-session) instead of pausing on it forever.
+    echo "$$" > runs/MEASURING
     if MEASURE_OUT="$OUT" bash scripts/measure_all.sh; then
       rm -f runs/MEASURING
       echo "$(date -Is) ALL steps captured — watcher done"

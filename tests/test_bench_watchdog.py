@@ -12,6 +12,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
@@ -22,6 +23,9 @@ def _run_bench(env_extra, timeout=150):
     env.update(env_extra)
     # The subprocess must not inherit a TPU pin; CPU keeps it hermetic.
     env["JAX_PLATFORMS"] = "cpu"
+    # Keep the queue-coordination marks out of the real runs/ directory
+    # (a test bench must never pause a live measurement watcher).
+    env.setdefault("CVM_BENCH_RUNS_DIR", tempfile.mkdtemp(prefix="benchruns"))
     proc = subprocess.run(
         [sys.executable, BENCH], capture_output=True, text=True,
         timeout=timeout, env=env,
@@ -95,13 +99,61 @@ def test_failure_line_carries_last_good(tmp_path):
     assert "last_good" not in out
 
 
-def test_deadline_watchdog_fires_during_hung_measurement():
+def test_measure_lock_wait_then_proceed_with_flag(tmp_path):
+    # Mutual exclusion with the measurement queue: a live runs/MEASURING
+    # lock makes bench wait its budget, then proceed with the contention
+    # flagged in the output line (both sides on one host core corrupt both
+    # numbers — the driver's bench has priority but must say so).
+    runs = tmp_path / "runs"
+    runs.mkdir()
+    (runs / "MEASURING").write_text(str(os.getpid()))  # live pid: this test
+    proc = _run_bench({
+        "CVM_BENCH_RUNS_DIR": str(runs),
+        "CVM_BENCH_MEASURE_LOCK_WAIT_S": "0.2",
+        "CVM_BENCH_MEASURE_LOCK_TICK_S": "0.1",
+        "CVM_BENCH_FAKE_PROBE_MS": "100",
+        "CVM_BENCH_PROBE_WAIT_S": "1",
+        "CVM_BENCH_DEADLINE_S": "120",
+    })
+    assert proc.returncode == 0
+    out = _parse_single_json_line(proc.stdout)
+    assert out["measuring_lock_seen"] is True
+    assert "measurement queue active" in proc.stderr
+    # The lock belongs to the queue; bench must not remove it.
+    assert (runs / "MEASURING").exists()
+    # Bench's own mark must be gone after a normal exit (atexit cleanup).
+    assert not (runs / "BENCH_RUNNING").exists()
+
+
+def test_measure_lock_stale_pid_cleared_no_wait(tmp_path):
+    # A MEASURING lock whose pid is dead (watcher SIGKILLed mid-session)
+    # must be cleared immediately, not waited on.
+    runs = tmp_path / "runs"
+    runs.mkdir()
+    (runs / "MEASURING").write_text("999999")  # beyond pid_max defaults
+    proc = _run_bench({
+        "CVM_BENCH_RUNS_DIR": str(runs),
+        "CVM_BENCH_MEASURE_LOCK_WAIT_S": "300",  # would time out the test
+        "CVM_BENCH_FAKE_PROBE_MS": "100",
+        "CVM_BENCH_PROBE_WAIT_S": "1",
+        "CVM_BENCH_DEADLINE_S": "120",
+    }, timeout=120)
+    assert proc.returncode == 0
+    out = _parse_single_json_line(proc.stdout)
+    assert "measuring_lock_seen" not in out
+    assert "stale MEASURING" in proc.stderr
+    assert not (runs / "MEASURING").exists()
+
+
+def test_deadline_watchdog_fires_during_hung_measurement(tmp_path):
     # A healthy probe lets measurement start; the CPU compile of the full
     # e2e program takes far longer than 6 s, so the deadline fires while the
     # main thread is busy inside jit — exactly the hung-RPC shape the
     # watchdog exists for. os._exit from the daemon timer must still leave
     # one valid line on stdout with rc 0.
+    runs = tmp_path / "runs"
     proc = _run_bench({
+        "CVM_BENCH_RUNS_DIR": str(runs),
         "CVM_BENCH_FAKE_PROBE_MS": "1.0",
         "CVM_BENCH_DEADLINE_S": "6",
     })
@@ -109,3 +161,7 @@ def test_deadline_watchdog_fires_during_hung_measurement():
     out = _parse_single_json_line(proc.stdout)
     assert "deadline" in out["error"]
     assert out["vs_baseline"] == 0.0
+    # os._exit skips atexit — the watchdog path must still drop the
+    # queue-coordination mark so the measurement queue is not paused on
+    # a dead pid.
+    assert not (runs / "BENCH_RUNNING").exists()

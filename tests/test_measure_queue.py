@@ -25,6 +25,9 @@ def _run(out_dir, extra_env):
         "MEASURE_OUT": str(out_dir),
         "MEASURE_MAX_WAIT": "1",
         "JAX_PLATFORMS": "cpu",
+        # Hermetic by default: never pause a test run on the real driver
+        # bench's runs/BENCH_RUNNING mark (tests override to rehearse it).
+        "BENCH_MARK_PATH": str(out_dir) + ".bench_running",
     })
     env.update(extra_env)
     return subprocess.run(
@@ -41,6 +44,49 @@ def test_all_ok_markers_skip_and_exit_zero(tmp_path):
     proc = _run(out, {})
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert proc.stdout.count("OK(cached)") == len(STEPS), proc.stdout
+
+
+def _mostly_cached(out_dir):
+    """All steps pre-captured except bench_run1, so exactly one step
+    exercises the wait_for_bench + remeasure path (fast under fake probe)."""
+    out_dir.mkdir()
+    for s in STEPS:
+        if s != "bench_run1":
+            (out_dir / f"{s}.ok").touch()
+
+
+def test_stale_bench_mark_is_cleared_and_queue_proceeds(tmp_path):
+    # bench.py was SIGKILLed mid-measurement (or its watchdog hard-exited
+    # before round 4's cleanup): the BENCH_RUNNING pid is dead, so the
+    # queue must clear it and run rather than pause for the wait budget.
+    out = tmp_path / "measure"
+    _mostly_cached(out)
+    mark = tmp_path / "BENCH_RUNNING"
+    mark.write_text("999999")
+    proc = _run(out, {
+        "CVM_BENCH_FAKE_PROBE_MS": "100",
+        "BENCH_MARK_PATH": str(mark),
+        "BENCH_LOCK_WAIT_S": "300",  # would time out the test if waited
+    })
+    assert "stale BENCH_RUNNING pid=999999" in proc.stdout, proc.stdout
+    assert not mark.exists()
+    assert proc.stdout.count("FAILED") == 1, proc.stdout
+
+
+def test_live_bench_mark_pauses_then_budget_expires(tmp_path):
+    # A live driver bench holds the lock; with a zero wait budget the queue
+    # logs that it is proceeding anyway (the real default waits 30 min).
+    out = tmp_path / "measure"
+    _mostly_cached(out)
+    mark = tmp_path / "BENCH_RUNNING"
+    mark.write_text(str(os.getpid()))  # this test process: alive
+    proc = _run(out, {
+        "CVM_BENCH_FAKE_PROBE_MS": "100",
+        "BENCH_MARK_PATH": str(mark),
+        "BENCH_LOCK_WAIT_S": "0",
+    })
+    assert "bench still running" in proc.stdout, proc.stdout
+    assert mark.exists()  # the queue never removes a live driver's mark
 
 
 @pytest.mark.slow
