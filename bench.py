@@ -120,14 +120,18 @@ def _failure_payload(reason: str) -> dict:
             if k in ours:
                 payload[k] = round(ours[k], 2) if isinstance(ours[k], float) else ours[k]
         # The measurement itself succeeded (a later stage hit the deadline):
-        # it IS the new last-good.
-        _save_last_good({k: v for k, v in payload.items()
-                         if k not in ("error", "stage")})
+        # it IS the new last-good — unless it ran contended with a queue
+        # step (host-side figures inflated; keep the clean cache).
+        if not _STATUS.get("measuring_lock_seen"):
+            _save_last_good({k: v for k, v in payload.items()
+                             if k not in ("error", "stage")})
     try:
         # The watcher's probe log, when present, shows WHETHER the tunnel was
         # degraded all along or only at this instant — context that turns an
-        # honest zero into an interpretable one.
-        with open(os.path.join(REPO, "runs", "PROBE_LAST")) as f:
+        # honest zero into an interpretable one. Same runs-dir override as
+        # the queue-coordination files (hermetic in tests/rehearsals).
+        runs = os.environ.get("CVM_BENCH_RUNS_DIR", os.path.join(REPO, "runs"))
+        with open(os.path.join(runs, "PROBE_LAST")) as f:
             hist = [ln.strip() for ln in f if ln.strip()]
         if hist:
             payload["probe_history_tail"] = hist[-6:]
@@ -566,7 +570,13 @@ def _coordinate_with_measure_queue() -> None:
 
 def main() -> int:
     _install_deadline_watchdog()
-    _coordinate_with_measure_queue()
+    try:
+        _coordinate_with_measure_queue()
+    except Exception as e:
+        # Coordination is best-effort: an unwritable runs/ dir or a bad env
+        # override must never break the one-parseable-JSON-line contract.
+        print(f"bench: queue coordination skipped: {e!r}",
+              file=sys.stderr, flush=True)
     try:
         ours = measure_tpu()
         _STATUS["ours"] = ours
@@ -620,8 +630,10 @@ def main() -> int:
     if _STATUS.get("measuring_lock_seen"):
         # The measurement queue was mid-step throughout the wait budget —
         # host-side figures (decode, baseline) may be contended-inflated.
+        # A contended number must NOT replace the clean cached measurement
+        # that refusal lines cite.
         result["measuring_lock_seen"] = True
-    if result["value"] > 0.0:
+    elif result["value"] > 0.0:
         _save_last_good(result)
     _emit_line(result)
     return 0

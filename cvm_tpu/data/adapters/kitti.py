@@ -253,10 +253,14 @@ def pack_kitti_raw(
     unsupervised pipeline needs (SURVEY.md §3.4, BASELINE config E). Pairs
     never cross a drive boundary (no fake motion between unrelated scenes).
 
-    When the drive also has GT depth (<drive>_sync/proj_depth/data/*.png,
-    uint16 depth*256 — KITTI depth-devkit layout), frame t's depth is stored
-    too, so an unsupervised DMDS run can be EVALUATED (median-scaled delta1,
-    train/evaluate.py) against withheld ground truth.
+    When the drive also has GT depth (uint16 depth*256 PNGs), frame t's
+    depth is stored too, so an unsupervised DMDS run can be EVALUATED
+    (median-scaled delta1, train/evaluate.py) against withheld ground truth.
+    Both layouts are recognized:
+    - <drive>_sync/proj_depth/groundtruth/image_02/*.png — the official
+      depth-devkit annotations merged into the raw tree,
+    - <drive>_sync/proj_depth/data/*.png — the flat mirror layout
+      scripts/gen_dataset.py emits.
     """
     drive_dirs = sorted(
         d for d in glob.glob(os.path.join(src_dir, "*", "*", "image_02", "data"))
@@ -271,8 +275,15 @@ def pack_kitti_raw(
             intr = _parse_calib_cam_to_cam(
                 os.path.join(date_dir, "calib_cam_to_cam.txt"))
             frames = sorted(glob.glob(os.path.join(ddir, "*.png")))
-            gdir = os.path.join(os.path.dirname(os.path.dirname(ddir)),
-                                "proj_depth", "data")
+            drive_root = os.path.dirname(os.path.dirname(ddir))
+            gdir = None
+            for cand in (
+                os.path.join(drive_root, "proj_depth", "groundtruth", "image_02"),
+                os.path.join(drive_root, "proj_depth", "data"),
+            ):
+                if os.path.isdir(cand):
+                    gdir = cand
+                    break
             for a, b in zip(frames, frames[frame_stride:]):
                 if max_images is not None and n >= max_images:
                     break
@@ -282,9 +293,10 @@ def pack_kitti_raw(
                 if intr is not None:
                     meta["intrinsics"] = intr
                 blobs = {"jpeg": jpeg, "jpeg_t1": jpeg1}
-                dpath = os.path.join(gdir, os.path.basename(a))
-                if os.path.exists(dpath):
-                    blobs["depth"] = load_png_u16(dpath).astype(np.uint16)
+                if gdir is not None:
+                    dpath = os.path.join(gdir, os.path.basename(a))
+                    if os.path.exists(dpath):
+                        blobs["depth"] = load_png_u16(dpath).astype(np.uint16)
                 w.write(meta, blobs)
                 n += 1
     return {"written": n, "drives": len(drive_dirs)}

@@ -126,6 +126,19 @@ class InferencePipeline:
                     return base_apply(*a, **kw)
         else:
             apply_fn = base_apply
+        if bool(getattr(params_cfg, "qat", False)) and not w8a8:
+            # A QAT model's fp forward is not a deliverable: eval/serving of
+            # plain weights must run the same fake-quant convs as the train
+            # step, so tracked metrics (and --keep_best selection) score the
+            # int8 artifact that ships, not an fp model that never will.
+            # Skipped when w8a8 is active — that IS the int8 path already.
+            from cvm_tpu.train.qat import fake_quant_training
+
+            pre_qat_apply = apply_fn
+
+            def apply_fn(*a, **kw):
+                with fake_quant_training():
+                    return pre_qat_apply(*a, **kw)
         self._apply = apply_fn
 
         # Monocular 3D serving when the model has 3D heads; the pipeline then

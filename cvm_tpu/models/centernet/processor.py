@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from cvm_tpu.models.centernet.params import CenternetParams
 from cvm_tpu.ops.heatmap import CenternetTargets, render_centernet_targets_batch
-from cvm_tpu.ops.image import map_boxes_to_output, rotate_boxes
+from cvm_tpu.ops.image import clip_boxes, map_boxes_to_output, rotate_boxes
 from cvm_tpu.pipeline.preprocess import (
     aug_from_params,
     preprocess_batch,
@@ -55,6 +55,10 @@ def make_processor(params: CenternetParams, train: bool):
             out_boxes = jax.vmap(
                 lambda b, a: rotate_boxes(b, a, center)
             )(out_boxes, angles)
+            # Rotated AABBs can spill past the canvas: clip so wh targets
+            # cover only visible pixels; fully-outside boxes degenerate to
+            # zero area and are dropped by prepare_centers' validity check.
+            out_boxes = clip_boxes(out_boxes, out_hw)
         boxes = out_boxes / params.stride
         K = batch["boxes"].shape[1]
         valid = jnp.arange(K)[None, :] < batch["num_objects"][:, None]

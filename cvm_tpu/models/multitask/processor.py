@@ -7,7 +7,12 @@ import jax.numpy as jnp
 
 from cvm_tpu.models.multitask.params import MultitaskParams
 from cvm_tpu.ops.heatmap import render_centernet_targets_batch
-from cvm_tpu.ops.image import map_boxes_to_output, rotate_boxes, sample_nearest
+from cvm_tpu.ops.image import (
+    clip_boxes,
+    map_boxes_to_output,
+    rotate_boxes,
+    sample_nearest,
+)
 from cvm_tpu.pipeline.preprocess import (
     aug_from_params,
     preprocess_batch,
@@ -33,6 +38,8 @@ def make_processor(params: MultitaskParams, train: bool):
             out_boxes = jax.vmap(
                 lambda b, a: rotate_boxes(b, a, center)
             )(out_boxes, angles)
+            # Clip the rotated AABBs to the canvas (see centernet processor).
+            out_boxes = clip_boxes(out_boxes, out_hw)
         boxes = out_boxes / params.det_stride
         K = batch["boxes"].shape[1]
         valid = jnp.arange(K)[None, :] < batch["num_objects"][:, None]

@@ -286,6 +286,22 @@ def map_boxes_to_output(boxes: jnp.ndarray, roi: Roi) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def clip_boxes(boxes: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Clip (..., 4) [x0,y0,x1,y1] boxes to the canvas [0,W)x[0,H).
+
+    Applied after rotation augmentation: the AABB of rotated corners can
+    extend past the canvas, and training on the invisible extent is label
+    noise (wh targets inflated by pixels the network cannot see). A box
+    rotated fully outside degenerates to zero area here and is then dropped
+    by the renderer's bw>0 & bh>0 validity check (ops/heatmap.py
+    prepare_centers).
+    """
+    h, w = out_hw
+    x = jnp.clip(boxes[..., 0::2], 0.0, float(w - 1))
+    y = jnp.clip(boxes[..., 1::2], 0.0, float(h - 1))
+    return jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], axis=-1)
+
+
 def rotate_points(points: jnp.ndarray, angle, center_xy) -> jnp.ndarray:
     """Rotate (..., 2) [x, y] points by ``angle`` (radians, CCW in image
     coords: a point p maps to R(angle)(p - c) + c) about center (cx, cy)."""

@@ -53,7 +53,16 @@ wait_for_bench() {
   done
 }
 
-run() { # run <name> <max_wait> <cmd...>  (MEASURE_MAX_WAIT overrides, for tests)
+# runs/MEASURING is held around each STEP (not the whole session): the
+# driver's bench.py waits a bounded budget on it, and a per-step lock means
+# that wait can actually succeed between steps. The lock carries this
+# script's pid so bench can detect a SIGKILLed session as stale; the trap
+# covers every normal/TERM exit.
+MEASURING_PATH="${MEASURING_PATH:-runs/MEASURING}"
+trap 'rm -f "$MEASURING_PATH"' EXIT
+
+run() { # [REMEASURE_FLAGS=...] run <name> <max_wait> <cmd...>
+        # (MEASURE_MAX_WAIT overrides max_wait, for tests)
   local name="$1" wait="${MEASURE_MAX_WAIT:-$2}"; shift 2
   if [[ -e "$OUT/$name.ok" ]]; then
     status[$name]="OK(cached)"
@@ -62,7 +71,9 @@ run() { # run <name> <max_wait> <cmd...>  (MEASURE_MAX_WAIT overrides, for tests
   fi
   wait_for_bench
   echo "== $name =="
-  if python scripts/remeasure.py --max_wait "$wait" -- "$@" \
+  echo "$$" > "$MEASURING_PATH"
+  # shellcheck disable=SC2086 — REMEASURE_FLAGS is intentionally word-split
+  if python scripts/remeasure.py --max_wait "$wait" ${REMEASURE_FLAGS:-} -- "$@" \
       > "$OUT/$name.log" 2>&1; then
     status[$name]=OK
     touch "$OUT/$name.ok"
@@ -70,6 +81,7 @@ run() { # run <name> <max_wait> <cmd...>  (MEASURE_MAX_WAIT overrides, for tests
     status[$name]="FAILED(rc=$?)"
     ALL_OK=0
   fi
+  rm -f "$MEASURING_PATH"
   tail -3 "$OUT/$name.log"
 }
 
@@ -84,27 +96,13 @@ run "dmds_accuracy" 900 benchmarks/accuracy_demo.py --model dmds --steps 1500
 # Step 6 (VERDICT r3 #5): the flagship 512x512 train-to-eval accuracy run,
 # surviving tunnel hiccups via --auto_restart. Health-gated on entry only
 # (--no_post): a mid-run degraded window costs wall time, not correctness.
-if [[ ! -e "$OUT/flagship_512.ok" ]]; then
-  wait_for_bench
-  echo "== flagship_512 =="
-  if python scripts/remeasure.py --max_wait "${MEASURE_MAX_WAIT:-900}" --no_post -- \
-      -m cvm_tpu.cli.train --model centernet --data synthetic \
-      --steps 5000 --eval_every 2500 --eval_batches 12 --keep_best mAP \
-      --workdir runs/flagship_512 --pad_hw 512,512 \
-      --checkpoint_every 500 --log_every 200 --auto_restart 3 \
-      --num_classes 10 --max_objects 16 --batch_size 16 \
-      --warmup_steps 250 --total_steps 5000 \
-      > "$OUT/flagship_512.log" 2>&1; then
-    status[flagship_512]=OK
-    touch "$OUT/flagship_512.ok"
-  else
-    status[flagship_512]="FAILED(rc=$?)"
-    ALL_OK=0
-  fi
-  tail -3 "$OUT/flagship_512.log"
-else
-  status[flagship_512]="OK(cached)"
-fi
+REMEASURE_FLAGS="--no_post" run "flagship_512" 900 \
+  -m cvm_tpu.cli.train --model centernet --data synthetic \
+  --steps 5000 --eval_every 2500 --eval_batches 12 --keep_best mAP \
+  --workdir runs/flagship_512 --pad_hw 512,512 \
+  --checkpoint_every 500 --log_every 200 --auto_restart 3 \
+  --num_classes 10 --max_objects 16 --batch_size 16 \
+  --warmup_steps 250 --total_steps 5000
 
 echo; echo "== summary ($OUT) =="
 for k in "${!status[@]}"; do echo "$k: ${status[$k]}"; done

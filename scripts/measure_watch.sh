@@ -39,15 +39,12 @@ except ValueError: print(0)
 ")"
   if [[ "$healthy" == "1" ]]; then
     echo "$(date -Is) tunnel HEALTHY — starting measurement session"
-    # Pid inside the lock lets bench.py detect a stale MEASURING (watcher
-    # SIGKILLed mid-session) instead of pausing on it forever.
-    echo "$$" > runs/MEASURING
+    # measure_all.sh holds runs/MEASURING per STEP (its own pid + trap
+    # cleanup), so the driver's bench.py waits out a step, not the session.
     if MEASURE_OUT="$OUT" bash scripts/measure_all.sh; then
-      rm -f runs/MEASURING
       echo "$(date -Is) ALL steps captured — watcher done"
       exit 0
     fi
-    rm -f runs/MEASURING
     echo "$(date -Is) some steps FAILED (window closed?) — will retry"
   fi
   sleep "$INTERVAL"

@@ -276,33 +276,45 @@ def test_pack_kitti_raw_two_frame_pairs(tmp_path, rng):
         f.write("P_rect_02: 700.0 0.0 600.0 0.0 0.0 700.0 180.0 0.0 "
                 "0.0 0.0 1.0 0.0\n")
     frames = {}
-    for drive in ("2011_09_26_drive_0001_sync", "2011_09_26_drive_0002_sync"):
+    for drive in ("2011_09_26_drive_0001_sync", "2011_09_26_drive_0002_sync",
+                  "2011_09_26_drive_0003_sync"):
         for t in range(3):
             img = rng.integers(0, 255, (24, 64, 3), dtype=np.uint8)
             frames[(drive, t)] = img
             _save(str(date / drive / "image_02" / "data" / f"{t:010d}.png"), img)
-    # GT depth present for drive_0001 only (KITTI depth-devkit layout):
-    # records pick it up where it exists and stay depth-free where not.
-    gdir = date / "2011_09_26_drive_0001_sync" / "proj_depth" / "data"
-    os.makedirs(gdir, exist_ok=True)
-    for t in range(3):
-        d16 = np.full((24, 64), 12 * 256, np.uint16)
-        Image.fromarray(d16).save(str(gdir / f"{t:010d}.png"))
+    # GT depth in BOTH recognized layouts: drive_0001 uses the official
+    # depth-devkit annotations merged into the raw tree
+    # (proj_depth/groundtruth/image_02 — review finding, round 4), drive_0003
+    # uses gen_dataset.py's flat mirror (proj_depth/data). drive_0002 has no
+    # depth and its records must stay depth-free.
+    for drive, layout in (
+        ("2011_09_26_drive_0001_sync", ("proj_depth", "groundtruth", "image_02")),
+        ("2011_09_26_drive_0003_sync", ("proj_depth", "data")),
+    ):
+        gdir = date / drive
+        for part in layout:
+            gdir = gdir / part
+        os.makedirs(gdir, exist_ok=True)
+        for t in range(3):
+            d16 = np.full((24, 64), 12 * 256, np.uint16)
+            Image.fromarray(d16).save(str(gdir / f"{t:010d}.png"))
 
     out = str(tmp_path / "kraw.cvrec")
     stats = pack_kitti_raw(str(root), out)
     # 3 frames per drive -> 2 consecutive pairs per drive; never across drives.
-    assert stats == {"written": 4, "drives": 2}
+    assert stats == {"written": 6, "drives": 3}
     r = RecordReader(out)
-    ids = [r.get(i)[0]["id"] for i in range(4)]
+    ids = [r.get(i)[0]["id"] for i in range(6)]
     assert all("drive_0001" in i for i in ids[:2])
-    assert all("drive_0002" in i for i in ids[2:])
+    assert all("drive_0002" in i for i in ids[2:4])
+    assert all("drive_0003" in i for i in ids[4:])
     meta, blobs = r.get(0)
     assert "jpeg" in blobs and "jpeg_t1" in blobs
     assert meta["intrinsics"] == [700.0, 700.0, 600.0, 180.0]
-    assert blobs["depth"].dtype == np.uint16
+    assert blobs["depth"].dtype == np.uint16  # devkit layout found
     assert int(blobs["depth"][5, 5]) == 12 * 256
     assert "depth" not in r.get(2)[1]  # drive_0002 has no proj_depth
+    assert r.get(4)[1]["depth"].dtype == np.uint16  # mirror layout found
     # The pair really is (t, t+1): decode both jpegs and match the sources.
     import io
 

@@ -208,6 +208,33 @@ def test_rotate_boxes_tracks_rotated_content():
     assert abs(xs.max() + 1 - box[2]) <= 1.5 and abs(ys.max() + 1 - box[3]) <= 1.5
 
 
+def test_clip_boxes_drops_offcanvas_extent_and_invalidates_gone_boxes():
+    """Rotation can push an AABB partly or fully off-canvas. clip_boxes must
+    trim the invisible extent, and a fully-outside box must degenerate so
+    prepare_centers' validity check drops it (review finding, round 4)."""
+    from cvm_tpu.ops.heatmap import prepare_centers
+    from cvm_tpu.ops.image import clip_boxes
+
+    H = W = 64
+    boxes = jnp.asarray([
+        [-10.0, 20.0, 30.0, 40.0],   # spills left → x0 clamps to 0
+        [40.0, -8.0, 80.0, 70.0],    # spills three sides
+        [70.0, 70.0, 90.0, 90.0],    # fully outside → degenerate
+        [10.0, 10.0, 20.0, 20.0],    # fully inside → untouched
+    ], jnp.float32)
+    c = np.asarray(clip_boxes(boxes, (H, W)))
+    np.testing.assert_allclose(c[0], [0.0, 20.0, 30.0, 40.0])
+    np.testing.assert_allclose(c[1], [40.0, 0.0, W - 1, H - 1])
+    assert c[2][0] == c[2][2] == W - 1 and c[2][1] == c[2][3] == H - 1
+    np.testing.assert_allclose(c[3], np.asarray(boxes)[3])
+
+    valid = jnp.ones((4,), bool)
+    *_, v, _, _, _, _ = prepare_centers(jnp.asarray(c), valid, (H, W), 0.7)
+    v = np.asarray(v)
+    assert v[0] and v[1] and v[3]
+    assert not v[2]  # zero-area after clip → never supervised
+
+
 def test_rotation_augmentation_in_processors():
     """aug_rotate_deg wires image+GT through the same roll in every
     processor; default 0 keeps the program rotation-free."""

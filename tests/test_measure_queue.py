@@ -26,8 +26,10 @@ def _run(out_dir, extra_env):
         "MEASURE_MAX_WAIT": "1",
         "JAX_PLATFORMS": "cpu",
         # Hermetic by default: never pause a test run on the real driver
-        # bench's runs/BENCH_RUNNING mark (tests override to rehearse it).
+        # bench's runs/BENCH_RUNNING mark, and never touch the real
+        # runs/MEASURING lock (tests override to rehearse the protocol).
         "BENCH_MARK_PATH": str(out_dir) + ".bench_running",
+        "MEASURING_PATH": str(out_dir) + ".measuring",
     })
     env.update(extra_env)
     return subprocess.run(
@@ -71,6 +73,21 @@ def test_stale_bench_mark_is_cleared_and_queue_proceeds(tmp_path):
     assert "stale BENCH_RUNNING pid=999999" in proc.stdout, proc.stdout
     assert not mark.exists()
     assert proc.stdout.count("FAILED") == 1, proc.stdout
+
+
+def test_measuring_lock_is_per_step_and_cleaned_up(tmp_path):
+    # The queue holds MEASURING around each step (pid-stamped) so the
+    # driver's bounded wait can succeed between steps; after the queue
+    # exits — even with FAILED steps — the lock must be gone (trap EXIT).
+    out = tmp_path / "measure"
+    _mostly_cached(out)
+    lock = tmp_path / "MEASURING"
+    proc = _run(out, {
+        "CVM_BENCH_FAKE_PROBE_MS": "100",
+        "MEASURING_PATH": str(lock),
+    })
+    assert proc.returncode != 0  # the one uncached step refused (degraded)
+    assert not lock.exists()
 
 
 def test_live_bench_mark_pauses_then_budget_expires(tmp_path):

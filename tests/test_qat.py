@@ -95,6 +95,43 @@ def test_fq_conv_grads_flow_to_params():
     assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
 
 
+def test_qat_inference_pipeline_scores_the_int8_artifact():
+    """evaluate_model / --keep_best go through InferencePipeline: with
+    qat=True it must serve the fake-quant numerics (== the w8a8 dynamic
+    serving path), NOT the fp forward — otherwise best-checkpoint selection
+    ranks a model that never ships (review finding, round 4)."""
+    import dataclasses
+
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.infer.pipeline import InferencePipeline
+    from cvm_tpu.models import get_model
+
+    spec = get_model("depth")
+    p = spec.params_cls(input_hw=(64, 64), backbone="tiny",
+                        decoder_features=16, num_scales=1, qat=True)
+    model = spec.create_model(p)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32),
+        train=False,
+    )
+    batch = synthetic_batch(np.random.default_rng(0), 2, (96, 96),
+                            num_classes=3)
+
+    d_qat = np.asarray(InferencePipeline(spec, p, variables)(batch)["depth"],
+                       np.float32)
+    d_int8 = np.asarray(
+        InferencePipeline(spec, p, variables, w8a8=True)(batch)["depth"],
+        np.float32,
+    )
+    p_fp = dataclasses.replace(p, qat=False)
+    d_fp = np.asarray(InferencePipeline(spec, p_fp, variables)(batch)["depth"],
+                      np.float32)
+    # The qat pipeline departs from fp and tracks the int8 serving path.
+    assert not np.allclose(d_qat, d_fp, atol=1e-7)
+    assert np.max(np.abs(d_qat - d_int8)) < np.max(np.abs(d_qat - d_fp))
+    np.testing.assert_allclose(d_qat, d_int8, rtol=0.05, atol=0.02)
+
+
 @pytest.mark.slow
 def test_qat_training_learns_and_matches_serving():
     """qat=True end to end: jitted train steps reduce the loss, and the
