@@ -144,6 +144,11 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
         "pad_hw": list(pad_hw),
         "quantize": quantize,
         "fold_bn": fold_bn,
+        # qat configs exported WITHOUT --quantize trace the fake-quant
+        # (qdq-in-fp) program — numerics match what train/eval scored, but
+        # `--quantize w8a8` is the intended artifact (same accuracy, real
+        # int8 compute). Recorded so serving can see which program it runs.
+        "qat": bool(getattr(cfg, "qat", False)),
     }
     with open(os.path.join(out_dir, "artifact.json"), "w") as f:
         json.dump(meta, f)

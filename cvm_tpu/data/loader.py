@@ -411,15 +411,29 @@ class RecordLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # A consumer that stops early (evaluate_model max_batches, eval
+            # image rendering) abandons the queue full: a plain q.put would
+            # block this thread forever, leaking it plus the prefetched
+            # batches every eval pass. Poll stop instead.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for idxs in self._id_stream():
                     if stop.is_set():
                         return
-                    q.put(self._make_batch(idxs))
-                q.put(None)
+                    if not _put(self._make_batch(idxs)):
+                        return
+                _put(None)
             except Exception as e:  # surface loader errors to the consumer
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -221,7 +221,13 @@ int cvm_decode_yuv420_into(const uint8_t* jpeg, unsigned long len,
   const int y_stride = max_w, c_stride = max_w / 2;
   while ((int)cinfo.output_scanline < H) {
     const int y0 = cinfo.output_scanline;
-    int got = jpeg_read_scanlines(&cinfo, rgb_rows, (y0 + 1 < H) ? 2 : 1);
+    // jpeg_read_scanlines may return FEWER rows than requested; the chroma
+    // 2x2 averaging below assumes y0 is even, so insist on the full pair
+    // (except at an odd-H tail) rather than trusting one call.
+    const int want = (y0 + 1 < H) ? 2 : 1;
+    int got = 0;
+    while (got < want && (int)cinfo.output_scanline < H)
+      got += jpeg_read_scanlines(&cinfo, rgb_rows + got, want - got);
     for (int r = 0; r < got; ++r)
       rgb_row_to_yuv(rgb_rows[r], out_y + (size_t)(y0 + r) * y_stride, W);
     // Chroma: average the 2x2 block (JFIF centered siting — matches the

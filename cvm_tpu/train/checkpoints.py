@@ -78,7 +78,13 @@ class BestCheckpoint:
                 with open(self._meta) as f:
                     d = json.load(f)
                 if d.get("metric") == metric and d.get("mode", "max") == mode:
-                    self.best = float(d["value"])
+                    # The sidecar is written as soon as the (async) save is
+                    # ISSUED; a crash before the save finalized leaves a bar
+                    # with no checkpoint behind it, which would silently
+                    # block every reachable best from being recorded. Only
+                    # honor a bar whose step actually exists on disk.
+                    if self._mngr.latest_step() == int(d.get("step", -1)):
+                        self.best = float(d["value"])
             except Exception:
                 pass  # unreadable sidecar: start fresh rather than crash
 

@@ -132,11 +132,23 @@ def test_keep_best_checkpoint(tmp_path):
     b3 = BestCheckpoint(d, "loss", "min", params_cfg=cfg)
     assert b3.best is None
 
+    # A sidecar whose step has no checkpoint behind it (crash between the
+    # best.json write and the async save finalizing) must NOT be honored —
+    # a phantom bar would block every reachable best from recording.
+    import json as _json
+    with open(f"{d}/best.json", "w") as f:
+        _json.dump({"metric": "miou", "mode": "max", "value": 0.99,
+                    "step": 999}, f)
+    b4 = BestCheckpoint(d, "miou", "max", params_cfg=cfg)
+    assert b4.best is None
+    assert b4.update(5, tr.state, 0.10)  # records despite the phantom 0.99
+    b4.wait()
+
     # The directory is a normal self-describing checkpoint dir: params.json
     # + the stored state restores through the standard manager.
     assert load_params_cfg(d, spec.params_cls).num_classes == 3
     mgr = CheckpointManager(d, keep=1)
-    assert mgr.latest_step() == 3
+    assert mgr.latest_step() == 5
     restored = mgr.restore_latest(tr.state)
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(restored.params)[0]),

@@ -107,6 +107,29 @@ def test_loader_batches(tmp_path, rng):
     assert b["intrinsics"].shape == (4, 4)
 
 
+def test_abandoned_iterator_releases_worker_thread(tmp_path, rng):
+    """A consumer that stops early (evaluate_model max_batches, eval image
+    rendering every --eval_every) must not leak the assembly thread blocked
+    in q.put — over a long training run those leaks compound (review
+    finding, round 4)."""
+    import threading
+    import time
+
+    p = str(tmp_path / "a.cvrec")
+    _write_shard(p, 10, rng)
+    ds = RecordDataset([p])
+    loader = RecordLoader(ds, batch_size=2, pad_hw=(48, 64), max_objects=8,
+                          loop=True, prefetch_batches=1)
+    n0 = threading.active_count()
+    it = iter(loader)
+    next(it)  # worker is now running and refilling the full queue
+    it.close()  # abandon early — generator finally sets the stop event
+    deadline = time.time() + 10.0
+    while threading.active_count() > n0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n0, "loader worker thread leaked"
+
+
 def test_loader_stage_stats(tmp_path, rng):
     p = str(tmp_path / "a.cvrec")
     _write_shard(p, 8, rng)
