@@ -31,6 +31,10 @@ def main(argv=None):
                         help="also write metrics as JSON to this path")
     parser.add_argument("--per_class", action="store_true",
                         help="report per-class AP / IoU alongside the means")
+    parser.add_argument("--tta", default="none", choices=("none", "hflip"),
+                        help="test-time augmentation: hflip merges the "
+                             "flipped pass at the head level (2x forward "
+                             "cost; rejected for with_3d/dmds)")
     parser.add_argument("--size_ap", action="store_true",
                         help="report COCO-style mAP_small/medium/large")
     args, overrides = parser.parse_known_args(argv)
@@ -117,7 +121,7 @@ def main(argv=None):
                  "batch_stats": trainer.state.batch_stats}
     m = evaluate_model(spec, cfg, variables, val, max_batches=args.batches,
                        mesh=trainer.mesh, per_class=args.per_class,
-                       size_buckets=args.size_ap)
+                       size_buckets=args.size_ap, tta=args.tta)
     print(f"[cvm_tpu] eval model={args.model} step={step} split={args.split}: "
           f"{json.dumps(m, sort_keys=True)}", flush=True)
     if args.json_out:

@@ -30,6 +30,10 @@ def main(argv=None):
                         help="run convs on the int8 path with calibrated "
                              "static activation scales (calibrates on the "
                              "first batch)")
+    parser.add_argument("--tta", default="none", choices=("none", "hflip"),
+                        help="test-time augmentation: hflip merges the "
+                             "flipped pass at the head level (2x forward "
+                             "cost; rejected for with_3d/dmds)")
     args = parser.parse_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
@@ -102,7 +106,8 @@ def main(argv=None):
             lambda x: model.apply(variables, x, train=False), [proc]
         )
         print(json.dumps({"w8a8_calibrated_convs": len(w8a8)}), flush=True)
-    pipe = InferencePipeline(spec, cfg, variables, mesh=trainer.mesh, w8a8=w8a8)
+    pipe = InferencePipeline(spec, cfg, variables, mesh=trainer.mesh, w8a8=w8a8,
+                             tta=args.tta)
 
     if args.visualize:
         os.makedirs(args.visualize, exist_ok=True)

@@ -79,6 +79,7 @@ class InferencePipeline:
         input_format: str = "rgb",
         w8a8: bool = False,
         fold_bn: bool = False,
+        tta: str = "none",
     ):
         self.spec = spec
         self.cfg = params_cfg
@@ -139,6 +140,37 @@ class InferencePipeline:
             def apply_fn(*a, **kw):
                 with fake_quant_training():
                     return pre_qat_apply(*a, **kw)
+        if tta not in ("none", "hflip"):
+            raise ValueError(f"tta must be none|hflip, got {tta!r}")
+        if tta == "hflip":
+            # Horizontal-flip test-time augmentation, merged at the HEAD
+            # level inside the one jitted program (2x forward cost, zero
+            # extra host round-trips). CenterNet: flip back + average the
+            # heatmap/size maps BEFORE the NMS-free decode (the standard
+            # CenterNet flip-test); sub-pixel offsets keep the unflipped
+            # pass — the exact flip of a cell-relative offset needs a 1-px
+            # cell shift, the original CenterNet makes the same choice.
+            # Dense models average logits/depth directly.
+            if bool(getattr(params_cfg, "with_3d", False)):
+                raise ValueError(
+                    "tta='hflip' is incompatible with with_3d decoding "
+                    "(yaw sin/cos flips sign under mirroring)"
+                )
+            if is_dmds:
+                raise ValueError(
+                    "tta='hflip' is incompatible with dmds (two-frame "
+                    "motion mirrors under flip)"
+                )
+            pre_tta_apply = apply_fn
+
+            def apply_fn(variables, x, train=False):
+                o = pre_tta_apply(variables, x, train=train)
+                of = pre_tta_apply(variables, jnp.flip(x, axis=2), train=train)
+                merged = dict(o)
+                for k in ("heatmap", "size", "logits", "depth"):
+                    if k in o:
+                        merged[k] = 0.5 * (o[k] + jnp.flip(of[k], axis=2))
+                return merged
         self._apply = apply_fn
 
         # Monocular 3D serving when the model has 3D heads; the pipeline then

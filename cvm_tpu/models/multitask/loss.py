@@ -43,9 +43,7 @@ def multitask_loss(
     )
     l_dep, dep_m = depth_loss(outputs, targets, dep_p)
 
-    total = params.weight_det * l_det + params.weight_seg * l_seg + params.weight_depth * l_dep
-    return total, {
-        "loss": total,
+    metrics = {
         "loss_det": l_det,
         "loss_hm": l_hm,
         "loss_seg": l_seg,
@@ -53,3 +51,17 @@ def multitask_loss(
         "pixel_acc": seg_m["pixel_acc"],
         "abs_rel": dep_m["abs_rel"],
     }
+    if getattr(params, "uncertainty_weighting", False):
+        # Homoscedastic uncertainty weighting (Kendall et al. 2018): the
+        # learnable log-variances replace the static task balance. exp(-s)
+        # scales each task down as its noise estimate grows; +0.5 s stops
+        # s -> inf from zeroing the task out.
+        s = outputs["task_log_vars"]  # (3,) [det, seg, depth]
+        total = (jnp.exp(-s[0]) * l_det + jnp.exp(-s[1]) * l_seg
+                 + jnp.exp(-s[2]) * l_dep + 0.5 * jnp.sum(s))
+        metrics.update(logvar_det=s[0], logvar_seg=s[1], logvar_depth=s[2])
+    else:
+        total = (params.weight_det * l_det + params.weight_seg * l_seg
+                 + params.weight_depth * l_dep)
+    metrics["loss"] = total
+    return total, metrics

@@ -56,6 +56,13 @@ class MultitaskNet(nn.Module):
         depth2 = sigmoid_to_depth(disp, p.min_depth, p.max_depth)
         out["depth"] = upsample_bilinear(depth2, (H, W))
         out["depth_scales"] = [depth2]
+        if getattr(p, "uncertainty_weighting", False):
+            # Learnable per-task log-variances [det, seg, depth] consumed by
+            # multitask_loss (Kendall weighting); inert at inference (the
+            # postprocess reads only the head keys).
+            out["task_log_vars"] = self.param(
+                "task_log_vars", nn.initializers.zeros, (3,)
+            )
         return out
 
 

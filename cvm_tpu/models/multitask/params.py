@@ -38,6 +38,13 @@ class MultitaskParams(BaseParams):
     weight_det: float = 1.0
     weight_seg: float = 1.0
     weight_depth: float = 0.5
+    # Homoscedastic uncertainty weighting (Kendall et al. 2018): learn one
+    # log-variance s_i per task and weight L = sum exp(-s_i) L_i + 0.5 s_i,
+    # REPLACING the static weight_det/seg/depth balance. The s_i live as a
+    # (3,) model param ([det, seg, depth]) so the optimizer/EMA/checkpoint
+    # machinery needs nothing new — but param shapes change, so set this
+    # before init (like space_to_depth_stem).
+    uncertainty_weighting: bool = False
     weight_offset: float = 1.0
     weight_size: float = 0.1
     # training

@@ -273,7 +273,8 @@ _COCO_AREA_BUCKETS = {"small": (0.0, 32.0**2), "medium": (32.0**2, 96.0**2),
 def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = None,
                    mesh=None, input_format: str = "auto",
                    per_class: bool = False,
-                   size_buckets: bool = False) -> Dict[str, float]:
+                   size_buckets: bool = False,
+                   tta: str = "none") -> Dict[str, float]:
     """Run the e2e pipeline over a loader and compute task metrics.
 
     ``input_format``: "rgb", "yuv420", or "auto" (detect from the first
@@ -332,7 +333,8 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
             fmt = input_format
             if fmt == "auto":
                 fmt = "yuv420" if "y" in batch and "image" not in batch else "rgb"
-            pipe = InferencePipeline(spec, cfg, variables, mesh=mesh, input_format=fmt)
+            pipe = InferencePipeline(spec, cfg, variables, mesh=mesh,
+                                     input_format=fmt, tta=tta)
         out = pipe(batch)
         out = {k: np.asarray(v) for k, v in out.items()}
         B = batch["image_hw"].shape[0]

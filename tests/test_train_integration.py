@@ -88,6 +88,33 @@ def test_multitask_every_head_learns():
     _assert_decreases(s, "loss_depth")
 
 
+def test_multitask_uncertainty_weighting_learns():
+    """Kendall homoscedastic weighting: the learnable log-variances replace
+    the static task balance; every head still learns, the log-vars move off
+    their zero init, and the total matches the formula
+    sum exp(-s_i) L_i + 0.5 sum s_i exactly."""
+    p = get_model("multitask").params_cls(
+        input_hw=(64, 64), backbone="tiny", neck_features=32, head_features=16,
+        num_det_classes=3, max_objects=6, learning_rate=1e-3, warmup_steps=2,
+        total_steps=200, uncertainty_weighting=True,
+    )
+    s = _run_series("multitask", p, steps=16)
+    _assert_decreases(s, "loss")
+    _assert_decreases(s, "loss_det")
+    _assert_decreases(s, "loss_seg")
+    _assert_decreases(s, "loss_depth")
+    # log-variances are being optimized (moved off the zero init)...
+    assert any(abs(s[f"logvar_{t}"][-1]) > 1e-4 for t in ("det", "seg", "depth"))
+    # ...and the reported total equals the Kendall formula at every step.
+    for i in range(len(s["loss"])):
+        want = (np.exp(-s["logvar_det"][i]) * s["loss_det"][i]
+                + np.exp(-s["logvar_seg"][i]) * s["loss_seg"][i]
+                + np.exp(-s["logvar_depth"][i]) * s["loss_depth"][i]
+                + 0.5 * (s["logvar_det"][i] + s["logvar_seg"][i]
+                         + s["logvar_depth"][i]))
+        np.testing.assert_allclose(s["loss"][i], want, rtol=2e-2)
+
+
 def test_dmds_photometric_learns():
     """The photometric head (the supervision signal) must decrease, not just
     stay finite (VERDICT r1 #7)."""
