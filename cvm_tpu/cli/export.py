@@ -19,7 +19,8 @@ import numpy as np
 
 def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
                  batch_size: int = 1, pad_hw=None, quantize: str = "none",
-                 input_format: str = "rgb", fold_bn: bool = False) -> dict:
+                 input_format: str = "rgb", fold_bn: bool = False,
+                 tta: str = "none") -> dict:
     from cvm_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
@@ -75,7 +76,7 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
 
     pipe = InferencePipeline(spec, cfg, variables, input_format=input_format,
                              w8a8=w8a8_scales if w8a8_scales else False,
-                             fold_bn=fold_bn)
+                             fold_bn=fold_bn, tta=tta)
     # With fold_bn the traced program expects the FOLDED kernels (the BN
     # normalize is gone; its residual bias is a program constant) — the
     # artifact must ship the pipeline's variables, not the checkpoint's.
@@ -144,6 +145,7 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
         "pad_hw": list(pad_hw),
         "quantize": quantize,
         "fold_bn": fold_bn,
+        "tta": tta,
         # qat configs exported WITHOUT --quantize trace the fake-quant
         # (qdq-in-fp) program — numerics match what train/eval scored, but
         # `--quantize w8a8` is the intended artifact (same accuracy, real
@@ -178,10 +180,14 @@ def main(argv=None):
     parser.add_argument("--fold_bn", action="store_true",
                         help="fold BatchNorm scales into conv kernels at "
                              "export (BN shrinks to a fused bias add)")
+    parser.add_argument("--tta", default="none", choices=["none", "hflip"],
+                        help="bake horizontal-flip TTA into the artifact "
+                             "(head-level merge, 2x compute per batch)")
     args = parser.parse_args(argv)
     stats = export_model(args.model, args.checkpoint_dir, args.out,
                          args.batch_size, quantize=args.quantize,
-                         input_format=args.input_format, fold_bn=args.fold_bn)
+                         input_format=args.input_format, fold_bn=args.fold_bn,
+                         tta=args.tta)
     print(json.dumps(stats))
     return 0
 

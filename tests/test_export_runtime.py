@@ -47,6 +47,20 @@ def test_export_and_serving_roundtrip(tmp_path, rng):
     assert cm_fp.shape == (1, 32, 32)
     assert (cm_fp == cm_q).mean() > 0.9  # int8 barely perturbs argmax
 
+    # --tta hflip bakes the head-level flip merge into the artifact: it
+    # loads codelessly, records the flag, and departs from the fp program
+    # (an untrained net is not flip-symmetric).
+    import json as _json
+
+    out_tta = str(tmp_path / "art_tta")
+    tstats = export_model("semseg", ckdir, out_tta, batch_size=1, tta="hflip")
+    assert tstats["stablehlo_bytes"] > 1000
+    with open(f"{out_tta}/artifact.json") as f:
+        assert _json.load(f)["tta"] == "hflip"
+    cm_tta = np.asarray(ServingModel(out_tta)(img, hw)["class_map"])
+    assert cm_tta.shape == (1, 32, 32)
+    assert (cm_tta != cm_fp).any()
+
 
 def test_decode_3d_backprojection(rng):
     import jax.numpy as jnp
