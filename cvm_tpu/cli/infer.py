@@ -16,6 +16,50 @@ import sys
 import numpy as np
 
 
+def _run_tiled(args, spec, cfg, trainer):
+    """Per-image native-resolution dense prediction (infer/tiled.py)."""
+    from PIL import Image
+
+    from cvm_tpu.infer.tiled import tiled_predict
+
+    files = sorted(glob.glob(args.images))
+    if not files:
+        raise SystemExit(f"no files match {args.images!r}")
+    trainer.init_state()
+    variables = {"params": trainer.eval_params,
+                 "batch_stats": trainer.state.batch_stats}
+    if args.visualize:
+        os.makedirs(args.visualize, exist_ok=True)
+    for f in files:
+        img = np.asarray(Image.open(f).convert("RGB"), np.uint8)
+        out = tiled_predict(spec, cfg, variables, img,
+                            overlap=args.tile_overlap)
+        rec = {"input": os.path.basename(f), "hw": list(img.shape[:2])}
+        if "class_map" in out:
+            cm = np.asarray(out["class_map"])
+            rec["class_histogram"] = np.bincount(
+                cm.reshape(-1), minlength=1).tolist()
+        if "depth" in out:
+            rec["depth_mean"] = float(np.asarray(out["depth"]).mean())
+        print(json.dumps(rec), flush=True)
+        if args.visualize:
+            base = os.path.join(args.visualize, os.path.basename(f))
+            if "class_map" in out:
+                from cvm_tpu.models.semseg.params import SEMSEG_PALETTE
+
+                pal = np.asarray(SEMSEG_PALETTE, np.uint8)
+                cm = np.asarray(out["class_map"])
+                Image.fromarray(pal[np.clip(cm, 0, len(pal) - 1)]).save(
+                    base + ".classes.png")
+            if "depth" in out:
+                d = np.asarray(out["depth"])[..., 0]
+                # uint16 depth*256 — the KITTI-PNG convention the adapters
+                # already read back.
+                Image.fromarray((np.clip(d, 0, 255) * 256).astype(np.uint16)
+                                ).save(base + ".depth.png")
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", required=True)
@@ -34,6 +78,12 @@ def main(argv=None):
                         help="test-time augmentation: hflip merges the "
                              "flipped pass at the head level (2x forward "
                              "cost; rejected for with_3d/dmds)")
+    parser.add_argument("--tiled", action="store_true",
+                        help="dense models (semseg/depth/multitask): stitch "
+                             "predictions at each image's NATIVE resolution "
+                             "from overlapping input_hw tiles instead of "
+                             "letterboxing to the training size")
+    parser.add_argument("--tile_overlap", type=float, default=0.25)
     args = parser.parse_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
@@ -52,6 +102,16 @@ def main(argv=None):
 
     trainer = Trainer(spec, cfg, checkpoint_dir=args.checkpoint_dir)
     pad_hw = (int(cfg.input_hw[0] * 1.5), int(cfg.input_hw[1] * 1.5))
+
+    if args.tiled:
+        if spec.name not in ("semseg", "depth", "multitask"):
+            parser.error("--tiled is for dense models (semseg/depth/multitask)")
+        if not args.images:
+            parser.error("--tiled requires --images (records serve fixed-size)")
+        if args.w8a8 or args.tta != "none":
+            parser.error("--tiled does not compose with --w8a8/--tta "
+                         "(qat configs quantize inside tiled_predict already)")
+        return _run_tiled(args, spec, cfg, trainer)
 
     def batches():
         if args.images:

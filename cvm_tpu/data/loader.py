@@ -260,14 +260,25 @@ class RecordLoader:
                     V[i, : h // 2, : w // 2] = vp
                     hw[i] = (h, w)
             if to_decode:
-                with self._stage("decode"):
-                    dy, du, dv, dhw = decode_jpeg_batch_yuv420(
-                        [j for _, j in to_decode], Hm, Wm, self.threads,
-                        target_hw=self.target_hw,
-                    )
-                for k, (i, _) in enumerate(to_decode):
-                    Y[i], U[i], V[i] = dy[k], du[k], dv[k]
-                    hw[i] = dhw[k]
+                if len(to_decode) == B:
+                    # Common training case (all-JPEG batch): decode straight
+                    # into the batch buffers — no temporary planes, no
+                    # per-frame memcpy on the single-core host.
+                    with self._stage("decode"):
+                        _, _, _, dhw = decode_jpeg_batch_yuv420(
+                            [j for _, j in to_decode], Hm, Wm, self.threads,
+                            target_hw=self.target_hw, out_yuv=(Y, U, V),
+                        )
+                    hw[:] = dhw
+                else:
+                    with self._stage("decode"):
+                        dy, du, dv, dhw = decode_jpeg_batch_yuv420(
+                            [j for _, j in to_decode], Hm, Wm, self.threads,
+                            target_hw=self.target_hw,
+                        )
+                    for k, (i, _) in enumerate(to_decode):
+                        Y[i], U[i], V[i] = dy[k], du[k], dv[k]
+                        hw[i] = dhw[k]
             for i, r in enumerate(raws):
                 if r is not None:  # pre-decoded uint8 HxWx3 blob
                     h, w = r.shape[:2]
@@ -323,14 +334,24 @@ class RecordLoader:
         images = np.zeros((B, Hm, Wm, 3), np.uint8)
         hw = np.ones((B, 2), np.int32)
         if to_decode:
-            with self._stage("decode"):
-                dec, dec_hw = decode_jpeg_batch(
-                    [j for _, j in to_decode], Hm, Wm, self.threads,
-                    target_hw=self.target_hw,
-                )
-            for k, (i, _) in enumerate(to_decode):
-                images[i] = dec[k]
-                hw[i] = dec_hw[k]
+            if len(to_decode) == B:
+                # All-JPEG batch: decode straight into the batch buffer
+                # (no temporary frames + per-frame memcpy).
+                with self._stage("decode"):
+                    _, dec_hw = decode_jpeg_batch(
+                        [j for _, j in to_decode], Hm, Wm, self.threads,
+                        target_hw=self.target_hw, out=images,
+                    )
+                hw[:] = dec_hw
+            else:
+                with self._stage("decode"):
+                    dec, dec_hw = decode_jpeg_batch(
+                        [j for _, j in to_decode], Hm, Wm, self.threads,
+                        target_hw=self.target_hw,
+                    )
+                for k, (i, _) in enumerate(to_decode):
+                    images[i] = dec[k]
+                    hw[i] = dec_hw[k]
         for i, b in enumerate(blobs):
             # Raw-YUV serving shards (cli.repack) read through the RGB
             # format: convert the planes instead of silently yielding a

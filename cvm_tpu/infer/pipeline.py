@@ -271,6 +271,11 @@ class InferencePipeline:
                 out_shardings=repl,
             )
         self._predict = jax.jit(predict, **kw)
+        # GSPMD needs the batch axis divisible by the devices it is sharded
+        # over (("data","model") — the full mesh). Small ad-hoc batches
+        # (e.g. cli.infer --batch_size 2 on an 8-device mesh) are padded up
+        # to the divisor in __call__ and the results sliced back.
+        self._batch_divisor = int(mesh.devices.size) if mesh is not None else 0
 
     def update_variables(self, variables: Dict[str, Any]) -> None:
         """Swap the served weights without retracing (variables are a jit
@@ -282,6 +287,27 @@ class InferencePipeline:
                 "untransformed weights — rebuild the pipeline instead"
             )
         self._variables = variables
+
+    def _run(self, *data_args):
+        """Invoke the jitted program, padding the batch axis up to the mesh
+        divisor (repeat the last row) and slicing the results back — keeps
+        one compiled program per (padded) batch size."""
+        import numpy as _np
+
+        B = int(data_args[0].shape[0])
+        n = self._batch_divisor
+        pad = (-B) % n if n else 0
+        if pad:
+            data_args = tuple(
+                _np.concatenate(
+                    [_np.asarray(a),
+                     _np.repeat(_np.asarray(a)[-1:], pad, axis=0)])
+                for a in data_args
+            )
+        out = self._predict(self._variables, *data_args)
+        if pad:
+            out = {k: v[:B] for k, v in out.items()}
+        return out
 
     def __call__(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
         """batch: image (B, Hm, Wm, 3) uint8 + image_hw (B, 2); dmds adds
@@ -299,21 +325,19 @@ class InferencePipeline:
 
         if self.input_format == "yuv420":
             if self.spec.name == "dmds":
-                return self._predict(
-                    self._variables, batch["y"], batch["u"], batch["v"],
+                return self._run(
+                    batch["y"], batch["u"], batch["v"],
                     batch["y_t1"], batch["u_t1"], batch["v_t1"],
                     batch["image_hw"],
                 )
             args = (batch["y"], batch["u"], batch["v"], batch["image_hw"])
             if self.with_3d:
                 args += (intr(),)
-            return self._predict(self._variables, *args)
+            return self._run(*args)
         if self.spec.name == "dmds":
-            return self._predict(
-                self._variables, batch["image"], batch["image_hw"], batch["image_t1"]
+            return self._run(
+                batch["image"], batch["image_hw"], batch["image_t1"]
             )
         if self.with_3d:
-            return self._predict(
-                self._variables, batch["image"], batch["image_hw"], intr()
-            )
-        return self._predict(self._variables, batch["image"], batch["image_hw"])
+            return self._run(batch["image"], batch["image_hw"], intr())
+        return self._run(batch["image"], batch["image_hw"])

@@ -86,28 +86,41 @@ def tiled_apply(
     jfn = jax.jit(apply_fn)
     window = _hann2d(th, tw)
 
-    # Cut with static starts; chunk to the fixed tile_batch (last chunk
-    # padded by repeating tile 0) so every chunk reuses ONE compiled program.
-    tiles = jnp.stack([image[y:y + th, x:x + tw] for (y, x) in grid])
-    T = tiles.shape[0]
+    # Cut/chunk/blend are each ONE jitted program (static grid unrolled
+    # inside) — eager per-tile ops would be 3x-per-tile dispatch RPCs over
+    # a remote backend. The model program (jfn) is reused for every chunk
+    # via the fixed tile_batch (last chunk padded by repeating tile 0).
+    T = len(grid)
     pad = (-T) % tile_batch
-    if pad:
-        tiles = jnp.concatenate([tiles, jnp.repeat(tiles[:1], pad, axis=0)])
+
+    @jax.jit
+    def _cut(im):
+        tiles = jnp.stack([im[y:y + th, x:x + tw] for (y, x) in grid])
+        if pad:
+            tiles = jnp.concatenate(
+                [tiles, jnp.repeat(tiles[:1], pad, axis=0)])
+        return tiles
+
+    tiles = _cut(image)
     preds = [jfn(tiles[i:i + tile_batch])
              for i in range(0, T + pad, tile_batch)]
-    preds = jnp.concatenate(preds)[:T]
-    if preds.shape[1:3] != (th, tw):
+    if preds[0].shape[1:3] != (th, tw):
         raise ValueError(
             f"tiled_apply needs same-resolution dense output, got tile "
-            f"{(th, tw)} -> {tuple(preds.shape[1:3])}"
+            f"{(th, tw)} -> {tuple(preds[0].shape[1:3])}"
         )
 
-    out = jnp.zeros((ph, pw, preds.shape[-1]), jnp.float32)
-    wsum = jnp.zeros((ph, pw, 1), jnp.float32)
-    for i, (y, x) in enumerate(grid):
-        out = out.at[y:y + th, x:x + tw].add(preds[i] * window)
-        wsum = wsum.at[y:y + th, x:x + tw].add(window)
-    return (out / wsum)[:H, :W]
+    @jax.jit
+    def _blend(chunks):
+        p = jnp.concatenate(chunks)[:T]
+        out = jnp.zeros((ph, pw, p.shape[-1]), jnp.float32)
+        wsum = jnp.zeros((ph, pw, 1), jnp.float32)
+        for i, (y, x) in enumerate(grid):
+            out = out.at[y:y + th, x:x + tw].add(p[i] * window)
+            wsum = wsum.at[y:y + th, x:x + tw].add(window)
+        return (out / wsum)[:H, :W]
+
+    return _blend(preds)
 
 
 def tiled_predict(spec, cfg, variables, image_u8, overlap: float = 0.25,

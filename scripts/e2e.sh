@@ -28,9 +28,18 @@ cleanup() { [ -z "${E2E_WORKDIR:-}" ] && rm -rf "$WORK" || true; }
 trap cleanup EXIT
 echo "[e2e] workdir=$WORK platform=$CVM_PLATFORM"
 
-echo "== leg 1: detection (COCO-format -> pack -> train -> export yuv420 -> serve) =="
+echo "== leg 1: detection (COCO-format -> pack -> stats -> train -> export yuv420 -> serve) =="
 python scripts/gen_dataset.py --format coco --out "$WORK/coco" --images "$IMAGES" --hw 96,96
 python -m cvm_tpu.cli.pack --dataset coco --src "$WORK/coco" --out "$WORK/coco.cvrec" --split val2017
+# Dataset statistics over the packed shard (class balance / size buckets);
+# the record count must match what the pack reported.
+python -m cvm_tpu.cli.stats --data "$WORK/coco.cvrec" --json | tee "$WORK/coco_stats.json"
+python - "$WORK/coco_stats.json" "$IMAGES" <<'EOF'
+import json, sys
+s = json.load(open(sys.argv[1]))
+assert s["records"] == int(sys.argv[2]), (s["records"], sys.argv[2])
+assert s["boxes_total"] > 0 and s["box_classes"]
+EOF
 python -m cvm_tpu.cli.train --model centernet --data "$WORK/coco.cvrec" \
   --steps "$STEPS_DET" --eval_every "$STEPS_DET" --eval_batches 6 \
   --workdir "$WORK/det" --pad_hw 96,96 --log_every 100 --checkpoint_every "$STEPS_DET" \
@@ -59,6 +68,16 @@ python -m cvm_tpu.cli.export --model semseg \
   --checkpoint_dir "$WORK/seg/checkpoints" --out "$WORK/seg_artifact" --batch_size 4
 python scripts/check_e2e.py --workdir "$WORK/seg" --artifact "$WORK/seg_artifact" \
   --data "$WORK/ksem.cvrec" --metric val_miou --min "${E2E_MIN_MIOU:-0.50}" --pad_hw 96,96
+# Flip TTA through the public eval CLI must hold the same mIoU bar (the
+# merged program is a strict superset of the plain forward).
+python -m cvm_tpu.cli.evaluate --model semseg --workdir "$WORK/seg" \
+  --data "$WORK/ksem.cvrec" --split val --batches 6 --pad_hw 96,96 \
+  --tta hflip --json_out "$WORK/seg/eval_tta.json"
+python - "$WORK/seg/eval_tta.json" "${E2E_MIN_MIOU:-0.50}" <<'EOF'
+import json, sys
+m = json.load(open(sys.argv[1]))
+assert m["miou"] >= float(sys.argv[2]), m
+EOF
 
 echo "== leg 3: depth (KITTI proj_depth -> pack -> train -> export -> serve) =="
 STEPS_DEPTH="${E2E_STEPS_DEPTH:-300}"

@@ -28,3 +28,33 @@ def test_rules_shard_matching_params():
     assert shard_shapes == {(1, 1, 64, 40)}
     b = sharded["backbone"]["conv"]["kernel"]
     assert {s.data.shape for s in b.addressable_shards} == {(3, 3, 16, 64)}
+
+
+def test_compiled_train_step_contains_collectives():
+    """HLO-level guard against silent replication: the sharded train step's
+    COMPILED module must contain a cross-device reduction (the DP gradient
+    all-reduce). If batch sharding regressed to full replication, XLA would
+    need no collectives at all and this disappears — a failure mode no
+    numeric equality test catches (replicated math is still correct math,
+    just 8x the work)."""
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16, class_weights=(1.0, 1.0, 1.0),
+                        warmup_steps=2, total_steps=10)
+    tr = Trainer(spec, p, log_every=1)
+    batch = synthetic_batch(np.random.default_rng(0), 8, (48, 48), num_classes=3)
+    tr.init_state(batch)
+    batch = jax.tree.map(lambda x: jax.device_put(x, tr._batch_sh), batch)
+    compiled = tr.train_step.lower(
+        tr.state, batch, jax.random.PRNGKey(0)
+    ).compile()
+    hlo = compiled.as_text()
+    assert ("all-reduce" in hlo or "reduce-scatter" in hlo
+            or "all-gather" in hlo), (
+        "no cross-device collective in the compiled train step — the batch "
+        "is not actually sharded over the mesh"
+    )
