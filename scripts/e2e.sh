@@ -10,7 +10,8 @@
 #     → metric gate     (non-toy mAP / mIoU or the script fails)
 #
 # Runs on CPU by default (CI); CVM_PLATFORM=axon uses the real chip.
-# Tunables: E2E_STEPS_DET / E2E_STEPS_SEG / E2E_IMAGES / E2E_WORKDIR.
+# Tunables: E2E_STEPS_DET / E2E_STEPS_SEG / E2E_IMAGES / E2E_WORKDIR;
+# E2E_LEGS="1 2" runs a subset of legs (default: all six).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -24,10 +25,13 @@ WORK="${E2E_WORKDIR:-$(mktemp -d /tmp/cvm_e2e.XXXXXX)}"
 STEPS_DET="${E2E_STEPS_DET:-400}"
 STEPS_SEG="${E2E_STEPS_SEG:-300}"
 IMAGES="${E2E_IMAGES:-96}"
+LEGS="${E2E_LEGS:-1 2 3 4 5 6}"
+leg() { case " $LEGS " in *" $1 "*) return 0;; *) return 1;; esac; }
 cleanup() { [ -z "${E2E_WORKDIR:-}" ] && rm -rf "$WORK" || true; }
 trap cleanup EXIT
-echo "[e2e] workdir=$WORK platform=$CVM_PLATFORM"
+echo "[e2e] workdir=$WORK platform=$CVM_PLATFORM legs=$LEGS"
 
+if leg 1; then
 echo "== leg 1: detection (COCO-format -> pack -> stats -> train -> export yuv420 -> serve) =="
 python scripts/gen_dataset.py --format coco --out "$WORK/coco" --images "$IMAGES" --hw 96,96
 python -m cvm_tpu.cli.pack --dataset coco --src "$WORK/coco" --out "$WORK/coco.cvrec" --split val2017
@@ -54,7 +58,9 @@ python -m cvm_tpu.cli.export --model centernet \
   --batch_size 4 --input_format yuv420
 python scripts/check_e2e.py --workdir "$WORK/det" --artifact "$WORK/det_artifact" \
   --data "$WORK/coco.cvrec" --metric val_mAP --min "${E2E_MIN_MAP:-0.30}" --pad_hw 96,96
+fi
 
+if leg 2; then
 echo "== leg 2: semseg (KITTI layout -> pack -> train -> export -> serve) =="
 python scripts/gen_dataset.py --format kitti_semseg --out "$WORK/ksem" --images "$IMAGES" --hw 96,96
 python -m cvm_tpu.cli.pack --dataset kitti_semseg --src "$WORK/ksem" --out "$WORK/ksem.cvrec"
@@ -78,7 +84,9 @@ import json, sys
 m = json.load(open(sys.argv[1]))
 assert m["miou"] >= float(sys.argv[2]), m
 EOF
+fi
 
+if leg 3; then
 echo "== leg 3: depth (KITTI proj_depth -> pack -> train -> export -> serve) =="
 STEPS_DEPTH="${E2E_STEPS_DEPTH:-300}"
 python scripts/gen_dataset.py --format kitti_depth --out "$WORK/kdep" --images "$IMAGES" --hw 96,96
@@ -94,7 +102,9 @@ python -m cvm_tpu.cli.export --model depth \
   --checkpoint_dir "$WORK/dep/checkpoints" --out "$WORK/dep_artifact" --batch_size 4
 python scripts/check_e2e.py --workdir "$WORK/dep" --artifact "$WORK/dep_artifact" \
   --data "$WORK/kdep.cvrec" --metric val_delta1 --min "${E2E_MIN_DELTA1:-0.50}" --pad_hw 96,96
+fi
 
+if leg 4; then
 echo "== leg 4: multitask (fused KITTI -> pack -> train -> export -> serve; joint gates) =="
 STEPS_MT="${E2E_STEPS_MT:-400}"
 python scripts/gen_dataset.py --format kitti_multitask --out "$WORK/kmt" --images "$IMAGES" --hw 96,96
@@ -116,7 +126,9 @@ python scripts/check_e2e.py --workdir "$WORK/mt" --artifact "$WORK/mt_artifact" 
   --data "$WORK/kmt.cvrec" --metric val_miou --min "${E2E_MIN_MT_MIOU:-0.40}" --pad_hw 96,96
 python scripts/check_e2e.py --workdir "$WORK/mt" --artifact "$WORK/mt_artifact" \
   --data "$WORK/kmt.cvrec" --metric val_delta1 --min "${E2E_MIN_MT_DELTA1:-0.45}" --pad_hw 96,96
+fi
 
+if leg 5; then
 echo "== leg 5: dmds (KITTI raw drives -> pack two-frame -> train -> export -> serve) =="
 STEPS_DMDS="${E2E_STEPS_DMDS:-250}"
 python scripts/gen_dataset.py --format kitti_raw --out "$WORK/kraw" --images "$IMAGES" --hw 96,96
@@ -139,7 +151,9 @@ python scripts/check_e2e.py --workdir "$WORK/dmds" --artifact "$WORK/dmds_artifa
 # recoverable from two frames up to scale — VERDICT r3 #8).
 python scripts/check_e2e.py --workdir "$WORK/dmds" --artifact "$WORK/dmds_artifact" \
   --data "$WORK/kraw.cvrec" --metric val_delta1 --min "${E2E_MIN_DMDS_DELTA1:-0.40}" --pad_hw 96,96
+fi
 
+if leg 6; then
 echo "== leg 6: KITTI 3D (label_2+calib -> pack -> train with_3d -> export -> serve; 3D gate) =="
 STEPS_3D="${E2E_STEPS_3D:-400}"
 python scripts/gen_dataset.py --format kitti_object --out "$WORK/k3d" --images "$IMAGES" --hw 96,96
@@ -160,5 +174,6 @@ python scripts/check_e2e.py --workdir "$WORK/det3d" --artifact "$WORK/det3d_arti
   --data "$WORK/k3d.cvrec" --metric val_mAP --min "${E2E_MIN_MAP3D:-0.25}" --pad_hw 96,96
 python scripts/check_e2e.py --workdir "$WORK/det3d" --artifact "$WORK/det3d_artifact" \
   --data "$WORK/k3d.cvrec" --metric val_center_err_3d_m --max "${E2E_MAX_CENTER3D:-6.0}" --pad_hw 96,96
+fi
 
-echo "[e2e] ALL LEGS OK"
+echo "[e2e] ALL LEGS OK ($LEGS)"
