@@ -385,3 +385,40 @@ def test_rgb_loader_reads_raw_yuv_shards(tmp_path, rng):
     ref = np.asarray(Image.open(io.BytesIO(_jpeg_bytes(img))).convert("RGB")).astype(int)
     assert np.abs(got - ref).mean() < 8.0
     assert (b["image"][0, 40:, :] == 0).all()
+
+
+def test_decode_out_buffer_matches_alloc(rng):
+    """The all-JPEG fast path (decode into caller buffers) must be
+    byte-identical to the allocating path, including zeroed padding and
+    failed-decode frames, for both RGB and YUV420."""
+    from cvm_tpu.native import decode_jpeg_batch_yuv420
+
+    jpegs = [_jpeg_bytes(rng.integers(0, 255, (40 + 2 * i, 60, 3),
+                                      dtype=np.uint8)) for i in range(3)]
+    jpegs.append(b"not a jpeg")  # failed decode -> zero frame, hw=(1,1)
+
+    ref, ref_hw = decode_jpeg_batch(jpegs, 64, 64, num_threads=2)
+    out = np.full((4, 64, 64, 3), 255, np.uint8)  # dirty buffer
+    got, got_hw = decode_jpeg_batch(jpegs, 64, 64, num_threads=2, out=out)
+    assert got is out
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(got_hw, ref_hw)
+
+    rY, rU, rV, r_hw = decode_jpeg_batch_yuv420(jpegs, 64, 64, num_threads=2)
+    Y = np.full((4, 64, 64), 255, np.uint8)
+    U = np.full((4, 32, 32), 255, np.uint8)
+    V = np.full((4, 32, 32), 255, np.uint8)
+    gY, gU, gV, g_hw = decode_jpeg_batch_yuv420(
+        jpegs, 64, 64, num_threads=2, out_yuv=(Y, U, V))
+    assert gY is Y and gU is U and gV is V
+    np.testing.assert_array_equal(gY, rY)
+    np.testing.assert_array_equal(gU, rU)
+    np.testing.assert_array_equal(gV, rV)
+    np.testing.assert_array_equal(g_hw, r_hw)
+
+    # Wrong shape/dtype/layout is a loud error, not heap corruption.
+    with pytest.raises(ValueError):
+        decode_jpeg_batch(jpegs, 64, 64, out=np.zeros((4, 64, 64, 3), np.int16))
+    with pytest.raises(ValueError):
+        decode_jpeg_batch_yuv420(
+            jpegs, 64, 64, out_yuv=(Y[:, :32], U, V))
