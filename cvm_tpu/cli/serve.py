@@ -27,11 +27,32 @@ def main(argv=None):
     parser.add_argument("--records", default=None, help=".cvrec glob")
     parser.add_argument("--max_batches", type=int, default=None)
     parser.add_argument("--score_threshold", type=float, default=0.3)
+    parser.add_argument("--http", default=None, metavar="HOST:PORT",
+                        help="serve the artifact as a long-lived HTTP daemon "
+                             "(POST /predict with image bytes; dynamic "
+                             "batching to the artifact's batch size; "
+                             "/healthz, /stats) instead of streaming "
+                             "--images/--records once")
+    parser.add_argument("--max_wait_ms", type=float, default=5.0,
+                        help="dynamic-batching window: a partial batch "
+                             "dispatches after this long (HTTP mode)")
     args = parser.parse_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+
+    if args.http:
+        from cvm_tpu.infer.server import serve_artifact
+
+        host, _, port = args.http.rpartition(":")
+        print(f"[cvm_tpu] serving {args.artifact} on http://{args.http} "
+              f"(POST /predict, GET /healthz, GET /stats)", file=sys.stderr,
+              flush=True)
+        serve_artifact(args.artifact, host or "127.0.0.1", int(port),
+                       max_wait_ms=args.max_wait_ms,
+                       score_threshold=args.score_threshold)
+        return 0
 
     from cvm_tpu.infer.runtime import ServingModel
 
@@ -122,19 +143,11 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         t_total += dt
         n_batches += 1
+        from cvm_tpu.infer.server import result_record
+
         for i, name in enumerate(names):
-            rec = {"input": os.path.basename(str(name))}
-            if "boxes" in out:
-                keep = out["scores"][i] >= args.score_threshold
-                rec["boxes"] = out["boxes"][i][keep].tolist()
-                rec["scores"] = out["scores"][i][keep].tolist()
-                rec["classes"] = out["classes"][i][keep].tolist()
-            if "class_map" in out:
-                rec["class_histogram"] = np.bincount(
-                    out["class_map"][i].reshape(-1), minlength=1
-                ).tolist()
-            if "depth" in out:
-                rec["depth_mean"] = float(out["depth"][i].mean())
+            rec = {"input": os.path.basename(str(name)),
+                   **result_record(out, i, args.score_threshold)}
             print(json.dumps(rec), flush=True)
             n_images += 1
     if n_batches:
