@@ -41,6 +41,10 @@ from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 import numpy as np
 
 
+class OverloadedError(RuntimeError):
+    """The batcher's bounded request queue is full (shed load, retry later)."""
+
+
 class _Request:
     __slots__ = ("args", "event", "out", "err", "t_enqueue")
 
@@ -86,8 +90,14 @@ class DynamicBatcher:
         self._thread.start()
 
     def submit(self, args: Sequence[np.ndarray],
-               timeout_s: float = 120.0) -> Dict[str, np.ndarray]:
-        """Block until this item's slice of a batched dispatch returns."""
+               timeout_s: float = 120.0,
+               enqueue_timeout_s: float = 1.0) -> Dict[str, np.ndarray]:
+        """Block until this item's slice of a batched dispatch returns.
+
+        Raises OverloadedError (not a bare queue.Full) when the bounded queue
+        stays full for enqueue_timeout_s — callers map it to backpressure
+        (HTTP 503), distinct from a dispatch failure (500).
+        """
         req = _Request(tuple(np.asarray(a) for a in args))
         for a in req.args:
             if a.shape[:1] != (1,):
@@ -95,7 +105,12 @@ class DynamicBatcher:
                     f"submit() items are single rows with a leading batch dim "
                     f"of 1, got shape {a.shape}"
                 )
-        self._q.put(req, timeout=timeout_s)
+        try:
+            self._q.put(req, timeout=enqueue_timeout_s)
+        except queue.Full:
+            raise OverloadedError(
+                f"request queue full ({self._q.maxsize} pending)"
+            ) from None
         if not req.event.wait(timeout_s):
             raise TimeoutError(f"no result within {timeout_s}s")
         if req.err is not None:
@@ -372,6 +387,9 @@ class ModelServer:
                     return
                 try:
                     out = server.batcher.submit(args)
+                except OverloadedError as e:
+                    self._json(503, {"error": str(e)})
+                    return
                 except (RuntimeError, TimeoutError) as e:
                     self._json(500, {"error": str(e)})
                     return

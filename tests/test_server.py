@@ -87,6 +87,44 @@ def test_batcher_error_propagates_and_keeps_serving():
         b.close()
 
 
+def test_batcher_full_queue_sheds_load_as_overloaded():
+    """A saturated bounded queue raises OverloadedError (→ HTTP 503), not a
+    bare queue.Full that would crash the connection handler."""
+    from cvm_tpu.infer.server import OverloadedError
+
+    release = threading.Event()
+    entered = threading.Event()
+
+    def model(x):
+        entered.set()
+        release.wait(30)
+        return {"val": x}
+
+    b = DynamicBatcher(model, batch_size=1, max_wait_ms=1.0, max_queue=1)
+    workers = []
+    try:
+        # Request A occupies the batcher thread inside model_fn; request B
+        # fills the single queue slot behind it; C must then shed instantly.
+        for _ in range(2):
+            t = threading.Thread(
+                target=lambda: b.submit((np.zeros((1, 1), np.float32),)))
+            t.start()
+            workers.append(t)
+            if not entered.is_set():
+                assert entered.wait(10)
+        deadline = time.time() + 10
+        while b._q.qsize() < 1:
+            assert time.time() < deadline
+            time.sleep(0.01)
+        with pytest.raises(OverloadedError, match="queue full"):
+            b.submit((np.zeros((1, 1), np.float32),), enqueue_timeout_s=0.05)
+    finally:
+        release.set()
+        for t in workers:
+            t.join(timeout=30)
+        b.close()
+
+
 def test_batcher_rejects_multi_row_items():
     b = DynamicBatcher(lambda x: {"v": x}, batch_size=2)
     try:
