@@ -20,7 +20,10 @@ even while the tunnel is degraded:
                          input instead of decoding full-res
 
 Prints one JSON line per measurement. Run via scripts/remeasure.py only if
-you want relay health gating — this benchmark itself needs none.
+you want relay health gating — this benchmark itself needs none. It DOES
+respect the host-load locks (runs/MEASURING, runs/BENCH_RUNNING): the box
+has one core, so running this concurrently with an on-chip measurement
+session corrupts BOTH sides' host-bound numbers (~3x under load).
 """
 
 from __future__ import annotations
@@ -143,7 +146,38 @@ def bench_loader(path: str, hw, batch_size: int, threads: int):
                         if k.endswith("_ms_per_batch")})
 
 
+def _refuse_if_measurement_running() -> None:
+    """One core: concurrent host-heavy work triples host-side timings on
+    both sides (CLAUDE.md). Refuse while a live measurement holds a lock;
+    clear dead-pid locks like bench.py does. CVM_LOADER_BENCH_FORCE=1
+    overrides."""
+    if os.environ.get("CVM_LOADER_BENCH_FORCE") == "1":
+        return
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("MEASURING", "BENCH_RUNNING"):
+        lock = os.path.join(repo, "runs", name)
+        try:
+            pid = int(open(lock).read().strip())
+        except (OSError, ValueError):
+            continue
+        try:
+            os.kill(pid, 0)
+        except OSError:
+            print(f"loader_bench: stale runs/{name} (pid {pid} dead) — "
+                  "clearing", file=sys.stderr)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+            continue
+        raise SystemExit(
+            f"loader_bench: runs/{name} held by live pid {pid} — a "
+            "measurement session owns the host core; rerun after it "
+            "finishes (CVM_LOADER_BENCH_FORCE=1 overrides)")
+
+
 def main() -> int:
+    _refuse_if_measurement_running()
     n_img = int(os.environ.get("CVM_LOADER_BENCH_IMAGES", "64"))
     batch = int(os.environ.get("CVM_LOADER_BENCH_BATCH", "16"))
     iters = int(os.environ.get("CVM_LOADER_BENCH_ITERS", "8"))

@@ -45,11 +45,14 @@ def main(argv=None):
     if args.http:
         from cvm_tpu.infer.server import serve_artifact
 
-        host, _, port = args.http.rpartition(":")
+        host, sep, port_s = args.http.rpartition(":")
+        if not sep or not port_s.isdigit():
+            parser.error(f"--http expects HOST:PORT, got {args.http!r}")
+        host = host.strip("[]") or "127.0.0.1"  # accept [::1]:8000
         print(f"[cvm_tpu] serving {args.artifact} on http://{args.http} "
               f"(POST /predict, GET /healthz, GET /stats)", file=sys.stderr,
               flush=True)
-        serve_artifact(args.artifact, host or "127.0.0.1", int(port),
+        serve_artifact(args.artifact, host, int(port_s),
                        max_wait_ms=args.max_wait_ms,
                        score_threshold=args.score_threshold)
         return 0
@@ -69,15 +72,7 @@ def main(argv=None):
         with open(cfg_path) as f:
             with_3d = bool(json.load(f).get("with_3d", False))
 
-    def pad_batch(arrs, n):
-        """Pad each array's batch dim from n to B by repeating the last row
-        (static shapes: the batch axis must divide the device mesh)."""
-        if n == B:
-            return arrs
-        return tuple(
-            np.concatenate([a, np.repeat(a[-1:], B - n, axis=0)], axis=0)
-            for a in arrs
-        )
+    from cvm_tpu.utils.batch import pad_rows
 
     def batches():
         if args.images:
@@ -127,7 +122,7 @@ def main(argv=None):
                         intr = np.tile(
                             np.asarray([[1.0, 1.0, 0.0, 0.0]], np.float32), (n, 1))
                     data = data + (np.asarray(intr, np.float32),)
-                yield names, pad_batch(tuple(np.asarray(a) for a in data), n)
+                yield names, pad_rows(data, B)
         else:
             parser.error("need --images or --records")
 

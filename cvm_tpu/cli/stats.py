@@ -40,6 +40,7 @@ def compute_stats(paths: Sequence[str], mask_samples: int = 64,
     boxes_per_frame = []
     depth_cov_sum, depth_cov_n = 0.0, 0
     mask_hist: Counter = Counter()
+    mask_hits = 0  # sampled records that actually carried a mask
 
     rng = np.random.default_rng(seed)
     mask_ids = set(rng.choice(n, size=min(mask_samples, n), replace=False).tolist()) if n else set()
@@ -68,6 +69,7 @@ def compute_stats(paths: Sequence[str], mask_samples: int = 64,
         # Dense blobs only on the sampled subset (decode cost).
         if i in mask_ids:
             if "mask" in blobs:
+                mask_hits += 1
                 vals, cnts = np.unique(np.asarray(blobs["mask"]), return_counts=True)
                 for v, c in zip(vals.tolist(), cnts.tolist()):
                     mask_hist[int(v)] += int(c)
@@ -95,7 +97,7 @@ def compute_stats(paths: Sequence[str], mask_samples: int = 64,
         # 255 is the ignore convention (data/loader.py) — report it apart.
         ignore = mask_hist.pop(255, 0)
         total = sum(mask_hist.values())
-        out["mask_sampled_frames"] = min(len(mask_ids), label_presence.get("mask", 0))
+        out["mask_sampled_frames"] = mask_hits
         out["mask_class_freq"] = {str(k): round(v / max(total, 1), 6)
                                   for k, v in sorted(mask_hist.items())}
         out["mask_ignore_frac"] = round(ignore / max(total + ignore, 1), 6)

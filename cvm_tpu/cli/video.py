@@ -130,20 +130,15 @@ def run_video(
             nonlocal writer, n_out
             if not pending:
                 return
-            B = len(pending)
+            from cvm_tpu.utils.batch import pad_rows
+
             imgs, hw = _pad_batch([p[1] for p in pending], pad_hw)
             # Static batch shape: pad short final chunks by repeating rows.
-            reps = batch_size - B
-            batch = {
-                "image": np.concatenate(
-                    [imgs, np.repeat(imgs[-1:], reps, 0)]) if reps else imgs,
-                "image_hw": np.concatenate(
-                    [hw, np.repeat(hw[-1:], reps, 0)]) if reps else hw,
-            }
+            batch = dict(zip(("image", "image_hw"),
+                             pad_rows((imgs, hw), batch_size)))
             if two_frame:
                 t1, _ = _pad_batch([p[2] for p in pending], pad_hw)
-                batch["image_t1"] = np.concatenate(
-                    [t1, np.repeat(t1[-1:], reps, 0)]) if reps else t1
+                (batch["image_t1"],) = pad_rows((t1,), batch_size)
             out = {k: np.asarray(v) for k, v in predict(batch).items()}
             for i, item in enumerate(pending):
                 rec = result_record(out, i, score_threshold)

@@ -292,18 +292,13 @@ class InferencePipeline:
         """Invoke the jitted program, padding the batch axis up to the mesh
         divisor (repeat the last row) and slicing the results back — keeps
         one compiled program per (padded) batch size."""
-        import numpy as _np
+        from cvm_tpu.utils.batch import pad_rows
 
         B = int(data_args[0].shape[0])
         n = self._batch_divisor
         pad = (-B) % n if n else 0
         if pad:
-            data_args = tuple(
-                _np.concatenate(
-                    [_np.asarray(a),
-                     _np.repeat(_np.asarray(a)[-1:], pad, axis=0)])
-                for a in data_args
-            )
+            data_args = pad_rows(data_args, B + pad)
         out = self._predict(self._variables, *data_args)
         if pad:
             out = {k: v[:B] for k, v in out.items()}

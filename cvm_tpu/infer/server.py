@@ -149,16 +149,14 @@ class DynamicBatcher:
                 continue
             n = len(batch)
             try:
-                data = [
-                    np.concatenate([r.args[k] for r in batch], axis=0)
-                    for k in range(len(batch[0].args))
-                ]
+                from cvm_tpu.utils.batch import pad_rows
+
+                data = pad_rows(
+                    [np.concatenate([r.args[k] for r in batch], axis=0)
+                     for k in range(len(batch[0].args))],
+                    self.batch_size,
+                )
                 pad = self.batch_size - n
-                if pad:
-                    data = [
-                        np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
-                        for a in data
-                    ]
                 t0 = time.perf_counter()
                 out = self.model_fn(*data)
                 out = {k: np.asarray(v) for k, v in out.items()}
@@ -303,9 +301,13 @@ class ModelServer:
             args += (k,)
         return args
 
-    def warmup(self) -> None:
+    def warmup(self, timeout_s: float = 1800.0) -> None:
         """Serve one synthetic batch so /healthz implies a compiled, working
-        program (first artifact call can take seconds over the tunnel)."""
+        program. The first call COMPILES — minutes over a remote backend
+        (CLAUDE.md) — so this uses its own long budget and retries: a warmup
+        that gives up while the compile is still in flight would leave
+        /healthz 503 forever on a server that is about to work, and a
+        supervisor gating on it would restart-loop through the compile."""
         h, w = self.pad_hw
         rng = np.random.default_rng(0)
         if self.input_format == "yuv420":
@@ -322,7 +324,21 @@ class ModelServer:
             )
         if self.with_3d:
             args += (np.asarray([[1.0, 1.0, 0.0, 0.0]], np.float32),)
-        self.batcher.submit(args)
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                self.batcher.submit(
+                    args, timeout_s=max(deadline - time.monotonic(), 1.0))
+                break
+            except (TimeoutError, OverloadedError):
+                # Early client requests may already occupy the queue; they
+                # warm the program just as well — keep trying until one
+                # batch (ours or theirs) has actually been served.
+                if self.batcher.n_batches > 0:
+                    break
+                if time.monotonic() >= deadline:
+                    raise
+                time.sleep(0.2)
         self.warm.set()
 
     def stats(self) -> Dict[str, Any]:
@@ -367,7 +383,11 @@ class ModelServer:
                 if not self.path.startswith("/predict"):
                     self._json(404, {"error": f"no route {self.path}"})
                     return
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self._json(400, {"error": "bad Content-Length"})
+                    return
                 if n <= 0 or n > 64 << 20:
                     self._json(400, {"error": "need image bytes in body"})
                     return

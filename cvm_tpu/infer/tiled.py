@@ -35,6 +35,11 @@ def tile_positions(full: int, tile: int, overlap: float) -> List[int]:
     so coverage is exact for any full >= 1; full < tile yields [0] (caller
     pads).
     """
+    if not 0.0 <= overlap < 1.0:
+        # overlap < 0 strides PAST the tile size (uncovered gaps -> 0/0 NaNs
+        # in the blend); overlap >= 1 clamps the stride to 1px (a ~tile-count
+        # explosion that looks like a hang). Fail loudly instead.
+        raise ValueError(f"overlap must be in [0, 1), got {overlap}")
     if tile >= full:
         return [0]
     stride = max(1, int(round(tile * (1.0 - overlap))))
@@ -165,12 +170,25 @@ def tiled_predict(spec, cfg, variables, image_u8, overlap: float = 0.25,
                 return fp_apply(*a, **kw)
 
     image = normalize_pm1(jnp.asarray(image_u8))
-    out = {}
-    for k in dense_keys:
-        def one(tiles, _k=k):
-            return base_apply(variables, tiles, train=False)[_k]
+    # ONE forward per tile regardless of how many dense heads the model has:
+    # concatenate the dense outputs along channels, stitch once, split back
+    # (running tiled_apply per key would re-run the whole backbone per key).
+    n_cls = int(getattr(cfg, "num_seg_classes",  # multitask field name
+                        getattr(cfg, "num_classes", 0)))
+    widths = {"logits": n_cls, "depth": 1}
 
-        out[k] = tiled_apply(one, image, cfg.input_hw, overlap, tile_batch)
+    def one(tiles):
+        o = base_apply(variables, tiles, train=False)
+        return jnp.concatenate(
+            [o[k].astype(jnp.float32) for k in dense_keys], axis=-1)
+
+    stitched = tiled_apply(one, image, cfg.input_hw, overlap, tile_batch)
+    out = {}
+    c0 = 0
+    for k in dense_keys:
+        c1 = c0 + widths[k]
+        out[k] = stitched[..., c0:c1]
+        c0 = c1
     if "logits" in out:
         out["class_map"] = jnp.argmax(out["logits"], axis=-1)
     return out

@@ -226,6 +226,19 @@ def test_http_server_stub_model(rng):
 
         code, _ = fx.get("/nope")
         assert code == 404
+
+        # A malformed Content-Length gets a clean 400, not a dropped
+        # connection from an uncaught ValueError in the handler thread.
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", fx.port, timeout=30)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "Content-Length" in json.loads(resp.read())["error"]
+        conn.close()
     finally:
         fx.close()
 
@@ -301,6 +314,17 @@ def test_http_server_real_artifact(tmp_path, rng):
         assert st["batch_size"] == 2 and st["batches"] >= 1
     finally:
         fx.close()
+
+
+def test_serve_cli_rejects_malformed_http_address():
+    """--http without a numeric port is an argparse error, not an int()
+    traceback."""
+    from cvm_tpu.cli.serve import main
+
+    for bad in ("localhost", "127.0.0.1:", ":", "host:port"):
+        with pytest.raises(SystemExit) as e:
+            main(["--artifact", "unused", "--http", bad])
+        assert e.value.code == 2
 
 
 def test_server_rejects_dmds_artifacts():

@@ -54,6 +54,21 @@ def test_compute_stats_counts_and_weights(tmp_path, rng):
     assert abs(s["depth_valid_frac_mean"] - 0.5) < 1e-6
 
 
+def test_mask_sampled_frames_counts_actual_hits(tmp_path, rng):
+    """mask_sampled_frames is how many SAMPLED records carried a mask — not
+    min(samples, total-with-mask), which overstates the sample behind the
+    suggested class weights when masks are sparse."""
+    p = str(tmp_path / "c.cvrec")
+    with RecordWriter(p) as w:
+        for i in range(12):
+            blobs = {"image": rng.integers(0, 255, (8, 8, 3), np.uint8)}
+            if i % 3 == 0:  # masks on 4 of 12 records
+                blobs["mask"] = np.zeros((8, 8), np.uint8)
+            w.write({"id": f"m{i}", "height": 8, "width": 8}, blobs)
+    s = compute_stats([p], mask_samples=12)  # sample everything
+    assert s["mask_sampled_frames"] == 4
+
+
 def test_stats_cli_json_line(tmp_path, rng, capsys):
     p = str(tmp_path / "b.cvrec")
     _shard(p, rng)

@@ -52,6 +52,52 @@ def test_tiled_apply_rejects_resolution_changing_fn():
         tiled_apply(lambda t: t[:, ::2, ::2], img, tile_hw=(32, 32))
 
 
+def test_tiled_apply_rejects_bad_overlap():
+    """overlap < 0 would leave uncovered 0/0 NaN pixels; >= 1 clamps the
+    stride to 1px (tile-count explosion). Both must fail loudly."""
+    img = jnp.zeros((64, 64, 3), jnp.float32)
+    for bad in (-0.1, 1.0, 1.5):
+        with pytest.raises(ValueError, match="overlap"):
+            tiled_apply(lambda t: t, img, tile_hw=(32, 32), overlap=bad)
+
+
+def test_tiled_predict_multitask_single_forward_per_tile():
+    """Multitask stitches BOTH dense heads from one forward per tile
+    (channel-concat + split), not one full forward per key."""
+    import jax
+
+    from cvm_tpu.models import get_model
+
+    spec = get_model("multitask")
+    p = spec.params_cls(input_hw=(32, 32), num_seg_classes=3, backbone="tiny",
+                        neck_features=16, head_features=8,
+                        class_weights=(1.0, 1.0, 1.0))
+    model = spec.create_model(p)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 32, 3), np.float32), train=False)
+    img = np.random.default_rng(3).integers(0, 255, (48, 70, 3), np.uint8)
+
+    calls = []
+    orig_apply = type(model).apply
+
+    def counting_apply(self, *a, **kw):
+        calls.append(1)
+        return orig_apply(self, *a, **kw)
+
+    from unittest import mock
+
+    with mock.patch.object(type(model), "apply", counting_apply):
+        out = tiled_predict(spec, p, variables, img, tile_batch=4)
+    assert out["logits"].shape == (48, 70, 3)
+    assert out["depth"].shape == (48, 70, 1)
+    assert out["class_map"].shape == (48, 70)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+    # 48x70 with 32x32 tiles @ 0.25 overlap -> 2x3 grid = 6 tiles = 2 chunks
+    # of tile_batch 4; ONE traced forward total (jit traces once), not one
+    # per dense key.
+    assert sum(calls) == 1
+
+
 def test_tiled_predict_semseg_arbitrary_resolution():
     import jax
 
