@@ -37,6 +37,9 @@ def main(argv=None):
                              "cost; rejected for with_3d/dmds)")
     parser.add_argument("--size_ap", action="store_true",
                         help="report COCO-style mAP_small/medium/large")
+    parser.add_argument("--average_last", type=int, default=0, metavar="N",
+                        help="evaluate the MEAN of the last N retained "
+                             "checkpoints (SWA) instead of the newest one")
     args, overrides = parser.parse_known_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
@@ -88,6 +91,12 @@ def main(argv=None):
     if step == 0:
         print(f"[cvm_tpu] WARNING: no checkpoint restored from "
               f"{ckpt_dir} — evaluating fresh init", file=sys.stderr)
+    if args.average_last:
+        from cvm_tpu.train.average import average_checkpoints
+
+        steps = average_checkpoints(trainer, args.average_last)
+        print(f"[cvm_tpu] averaged checkpoints at steps {list(steps)}",
+              file=sys.stderr)
 
     if args.data == "synthetic":
         import numpy as np

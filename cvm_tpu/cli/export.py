@@ -20,7 +20,7 @@ import numpy as np
 def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
                  batch_size: int = 1, pad_hw=None, quantize: str = "none",
                  input_format: str = "rgb", fold_bn: bool = False,
-                 tta: str = "none") -> dict:
+                 tta: str = "none", average_last: int = 0) -> dict:
     from cvm_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
@@ -38,6 +38,11 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
     cfg = load_params_cfg(checkpoint_dir, spec.params_cls)
     trainer = Trainer(spec, cfg, checkpoint_dir=checkpoint_dir)
     trainer.init_state()
+    if average_last:
+        from cvm_tpu.train.average import average_checkpoints
+
+        avg_steps = average_checkpoints(trainer, average_last)
+        print(f"[export] shipping the mean of checkpoints {list(avg_steps)}")
     # Host round-trip strips mesh shardings so the artifact is single-device
     # portable (serving replication is the runtime's concern, not the export's).
     variables = jax.device_get(
@@ -183,11 +188,14 @@ def main(argv=None):
     parser.add_argument("--tta", default="none", choices=["none", "hflip"],
                         help="bake horizontal-flip TTA into the artifact "
                              "(head-level merge, 2x compute per batch)")
+    parser.add_argument("--average_last", type=int, default=0, metavar="N",
+                        help="ship the MEAN of the last N retained "
+                             "checkpoints (SWA) instead of the newest one")
     args = parser.parse_args(argv)
     stats = export_model(args.model, args.checkpoint_dir, args.out,
                          args.batch_size, quantize=args.quantize,
                          input_format=args.input_format, fold_bn=args.fold_bn,
-                         tta=args.tta)
+                         tta=args.tta, average_last=args.average_last)
     print(json.dumps(stats))
     return 0
 

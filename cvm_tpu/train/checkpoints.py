@@ -48,6 +48,15 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 
+    def all_steps(self) -> list:
+        """Steps on disk, ascending (bounded by keep-N)."""
+        return sorted(self._mngr.all_steps())
+
+    def restore_step(self, step: int, abstract_state: Any) -> Any:
+        """Restore a SPECIFIC retained step shaped like ``abstract_state``."""
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
+        return self._mngr.restore(step, args=ocp.args.StandardRestore(target))
+
     def wait(self) -> None:
         self._mngr.wait_until_finished()
 
