@@ -37,6 +37,9 @@ def main(argv=None):
                              "cost; rejected for with_3d/dmds)")
     parser.add_argument("--size_ap", action="store_true",
                         help="report COCO-style mAP_small/medium/large")
+    parser.add_argument("--confusion", action="store_true",
+                        help="include the row-normalized semseg confusion "
+                             "matrix (confusion[gt][pred]) in the output")
     parser.add_argument("--average_last", type=int, default=0, metavar="N",
                         help="evaluate the MEAN of the last N retained "
                              "checkpoints (SWA) instead of the newest one")
@@ -130,7 +133,8 @@ def main(argv=None):
                  "batch_stats": trainer.state.batch_stats}
     m = evaluate_model(spec, cfg, variables, val, max_batches=args.batches,
                        mesh=trainer.mesh, per_class=args.per_class,
-                       size_buckets=args.size_ap, tta=args.tta)
+                       size_buckets=args.size_ap, confusion=args.confusion,
+                       tta=args.tta)
     print(f"[cvm_tpu] eval model={args.model} step={step} split={args.split}: "
           f"{json.dumps(m, sort_keys=True)}", flush=True)
     if args.json_out:

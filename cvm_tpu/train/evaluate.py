@@ -208,7 +208,8 @@ class SemsegEvaluator:
         l = label[valid].astype(np.int64)
         np.add.at(self.cm, (l, p), 1)
 
-    def compute(self, per_class: bool = False) -> Dict[str, float]:
+    def compute(self, per_class: bool = False,
+                confusion: bool = False) -> Dict[str, float]:
         inter = np.diag(self.cm).astype(np.float64)
         union = self.cm.sum(0) + self.cm.sum(1) - inter
         present = union > 0
@@ -221,6 +222,12 @@ class SemsegEvaluator:
             for c in range(self.C):
                 if present[c]:
                     out[f"iou_class_{c}"] = float(full[c])
+        if confusion:
+            # Row-normalized (recall-view): confusion[gt][pred] = fraction of
+            # GT-class pixels predicted as each class. JSON-safe nested list.
+            rows = self.cm.astype(np.float64)
+            rows /= np.maximum(rows.sum(1, keepdims=True), 1)
+            out["confusion"] = [[round(float(v), 4) for v in r] for r in rows]
         return out
 
 
@@ -274,6 +281,7 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
                    mesh=None, input_format: str = "auto",
                    per_class: bool = False,
                    size_buckets: bool = False,
+                   confusion: bool = False,
                    tta: str = "none") -> Dict[str, float]:
     """Run the e2e pipeline over a loader and compute task metrics.
 
@@ -392,7 +400,8 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
     if det3d_eval is not None:
         metrics.update(det3d_eval.compute())
     if seg_eval is not None:
-        metrics.update(seg_eval.compute(per_class=per_class))
+        metrics.update(seg_eval.compute(per_class=per_class,
+                                        confusion=confusion))
     if dep_eval is not None:
         metrics.update(dep_eval.compute())
     return metrics

@@ -63,6 +63,19 @@ def test_semseg_evaluator():
     assert m["miou"] < 1.0
 
 
+def test_semseg_confusion_matrix_row_normalized():
+    ev = SemsegEvaluator(num_classes=2)
+    # GT class 0: 3 px (2 right, 1 called class 1); GT class 1: 1 px right.
+    ev.add(np.array([0, 0, 1, 1]), np.array([0, 0, 0, 1]))
+    m = ev.compute(confusion=True)
+    assert m["confusion"] == [[pytest.approx(2 / 3, abs=1e-4),
+                               pytest.approx(1 / 3, abs=1e-4)],
+                              [0.0, 1.0]]
+    import json
+
+    json.dumps(m)  # JSON-safe alongside the scalar metrics
+
+
 def test_depth_evaluator():
     ev = DepthEvaluator()
     ev.add(np.array([10.0, 20.0, 1.0]), np.array([10.0, 10.0, 0.0]))  # last invalid
