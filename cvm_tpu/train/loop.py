@@ -166,6 +166,7 @@ class Trainer:
             params_cfg.weight_decay,
             grad_accum_steps=getattr(params_cfg, "grad_accum_steps", 1),
             lr_schedule=getattr(params_cfg, "lr_schedule", "warmup_cosine"),
+            optimizer=getattr(params_cfg, "optimizer", "adamw"),
         )
         self.processor = spec.make_processor(params_cfg, train=True)
         self.log_every = log_every

@@ -47,12 +47,21 @@ def make_optimizer(
     clip_norm: float = 10.0,
     grad_accum_steps: int = 1,
     lr_schedule: str = "warmup_cosine",
+    optimizer: str = "adamw",
 ) -> optax.GradientTransformation:
     schedule = make_schedule(lr_schedule, learning_rate, total_steps, warmup_steps)
-    tx = optax.chain(
-        optax.clip_by_global_norm(clip_norm),
-        optax.adamw(schedule, weight_decay=weight_decay),
-    )
+    if optimizer == "adamw":
+        core = optax.adamw(schedule, weight_decay=weight_decay)
+    elif optimizer == "sgd":
+        # Nesterov momentum + the same decoupled decay AdamW uses, so
+        # weight_decay means one thing across optimizers.
+        core = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(schedule, momentum=0.9, nesterov=True),
+        )
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r} (adamw|sgd)")
+    tx = optax.chain(optax.clip_by_global_norm(clip_norm), core)
     if grad_accum_steps > 1:
         # k micro-batches accumulate in opt-state before one optimizer apply:
         # k * batch_size effective batch at unchanged activation memory.

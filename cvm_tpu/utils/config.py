@@ -46,6 +46,10 @@ class BaseParams:
     # LR schedule: warmup_cosine (default) | constant | step (x0.1 at
     # 60%/85% of total_steps). All keep the linear warmup.
     lr_schedule: str = "warmup_cosine"
+    # Optimizer: adamw (default; decoupled weight decay via weight_decay) |
+    # sgd (Nesterov momentum 0.9, the classic detector recipe — weight_decay
+    # applies as decoupled decay there too).
+    optimizer: str = "adamw"
     # Extra photometric augmentation (device-side): max gaussian noise sigma
     # as a fraction of 255, and 3x3-blur probability (both 0 = off).
     aug_noise_std: float = 0.0

@@ -161,6 +161,33 @@ def test_lr_schedules():
         make_schedule("nope", lr, total, warm)
 
 
+def test_sgd_optimizer_trains_and_checkpoints(tmp_path):
+    """optimizer='sgd' (Nesterov + decoupled decay): loss decreases and the
+    different opt_state structure round-trips through a checkpoint."""
+    import itertools
+
+    p = _tiny_params(optimizer="sgd").replace(learning_rate=5e-2)
+    spec = get_model("semseg")
+    ckdir = str(tmp_path / "ck")
+    tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=5,
+                 log_every=1)
+    it = synthetic_iterator(0, 8, (48, 48), num_classes=3)
+    batches = [next(it) for _ in range(2)]
+    tr.init_state(batches[0])
+    first = tr.fit(iter([batches[0]]), 1)["loss"]
+    last = tr.fit(itertools.cycle(batches), 14)["loss"]
+    assert np.isfinite(last) and last < first
+    tr.ckpt.wait()
+
+    tr2 = Trainer(spec, p, checkpoint_dir=ckdir)
+    tr2.init_state(batches[0])
+    assert int(tr2.state.step) == 15
+    assert _leaves_close(tr2.state.params, tr.state.params)
+
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        Trainer(spec, _tiny_params(optimizer="nope"))
+
+
 def test_ema_frozen_during_accum_microsteps():
     """With grad_accum_steps=2 the EMA shadow must not move on the frozen
     micro-step (otherwise effective decay becomes decay^k per update)."""
