@@ -159,6 +159,21 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
     }
     with open(os.path.join(out_dir, "artifact.json"), "w") as f:
         json.dump(meta, f)
+
+    # Integrity fingerprint: run the artifact we just wrote (full load path —
+    # deserialization + weight unflatten/dequantize) on a deterministic
+    # synthetic batch and record per-output stats. `ServingModel.selftest()` /
+    # `cli.serve --selftest` re-check it at deploy time (infer/selftest.py).
+    from cvm_tpu.infer.runtime import ServingModel
+    from cvm_tpu.infer.selftest import SELFTEST_SEED, fingerprint, synth_inputs
+
+    with_3d = bool(getattr(cfg, "with_3d", False))
+    runner = ServingModel(out_dir)
+    st_out = runner(*synth_inputs(meta, with_3d=with_3d))
+    meta["selftest"] = {"seed": SELFTEST_SEED, "with_3d": with_3d,
+                        "outputs": fingerprint(st_out)}
+    with open(os.path.join(out_dir, "artifact.json"), "w") as f:
+        json.dump(meta, f)
     return {
         "out_dir": out_dir,
         "stablehlo_bytes": len(blob),

@@ -36,11 +36,26 @@ def main(argv=None):
     parser.add_argument("--max_wait_ms", type=float, default=5.0,
                         help="dynamic-batching window: a partial batch "
                              "dispatches after this long (HTTP mode)")
+    parser.add_argument("--selftest", action="store_true",
+                        help="verify the artifact against its export-time "
+                             "fingerprint before serving (exit 3 on "
+                             "mismatch — catches weights/program drift)")
     args = parser.parse_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+
+    if args.selftest:
+        from cvm_tpu.infer.runtime import ServingModel
+
+        problems = ServingModel(args.artifact).selftest()
+        if problems:
+            for p in problems:
+                print(f"[selftest] MISMATCH: {p}", file=sys.stderr)
+            return 3
+        print("[selftest] artifact verified against export fingerprint",
+              file=sys.stderr, flush=True)
 
     if args.http:
         from cvm_tpu.infer.server import serve_artifact

@@ -68,3 +68,11 @@ class ServingModel:
         """data_args match the export signature after variables (e.g. images,
         image_hw — or y, u, v, image_hw for a yuv420 export)."""
         return self._exported.call(self.variables, *data_args)
+
+    def selftest(self, rtol: float = 0.05, atol: float = 1e-3):
+        """Verify program+weights integrity against the fingerprint recorded
+        at export (infer/selftest.py). Returns [] when verified, else
+        mismatch descriptions."""
+        from cvm_tpu.infer.selftest import run_selftest
+
+        return run_selftest(self, rtol=rtol, atol=atol)

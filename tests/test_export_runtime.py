@@ -61,6 +61,30 @@ def test_export_and_serving_roundtrip(tmp_path, rng):
     assert cm_tta.shape == (1, 32, 32)
     assert (cm_tta != cm_fp).any()
 
+    # Integrity self-test: the export-time fingerprint verifies on a clean
+    # load; corrupting the weights (scale one conv) must be detected — the
+    # "weights/program drift" failure still executes but changes output
+    # statistics wildly.
+    assert m_fp.selftest() == []
+    import shutil
+
+    out_bad = str(tmp_path / "art_bad")
+    shutil.copytree(out_fp, out_bad)
+    with np.load(f"{out_bad}/weights.npz") as z:
+        flat = {k: z[k] for k in z.files}
+    wkey = next(k for k in flat if k.startswith("params/") and flat[k].ndim >= 2)
+    flat[wkey] = flat[wkey] * 40.0
+    np.savez(f"{out_bad}/weights.npz", **flat)
+    problems = ServingModel(out_bad).selftest()
+    assert problems, "corrupted weights must fail the selftest"
+
+    # cli.serve --selftest: exit 3 on the corrupted artifact, serves the
+    # clean one.
+    from cvm_tpu.cli.serve import main as serve_main
+
+    assert serve_main(["--artifact", out_bad, "--selftest",
+                       "--records", "unused"]) == 3
+
 
 def test_decode_3d_backprojection(rng):
     import jax.numpy as jnp
