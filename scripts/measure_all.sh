@@ -64,6 +64,15 @@ trap 'rm -f "$MEASURING_PATH"' EXIT
 run() { # [REMEASURE_FLAGS=...] run <name> <max_wait> <cmd...>
         # (MEASURE_MAX_WAIT overrides max_wait, for tests)
   local name="$1" wait="${MEASURE_MAX_WAIT:-$2}"; shift 2
+  # MEASURE_STEPS (space-separated names) restricts the session to a subset —
+  # the watcher's accuracy tier runs ONLY the train-to-eval step during
+  # moderately degraded windows. Skipped-by-filter is not a failure, but the
+  # session is partial: report rc!=0 so the watcher keeps going.
+  if [[ -n "${MEASURE_STEPS:-}" ]] && [[ " $MEASURE_STEPS " != *" $name "* ]]; then
+    status[$name]="SKIPPED(filter)"
+    ALL_OK=0
+    return
+  fi
   if [[ -e "$OUT/$name.ok" ]]; then
     status[$name]="OK(cached)"
     echo "== $name == already captured, skipping"
@@ -96,7 +105,9 @@ run "dmds_accuracy" 900 benchmarks/accuracy_demo.py --model dmds --steps 1500
 # Step 6 (VERDICT r3 #5): the flagship 512x512 train-to-eval accuracy run,
 # surviving tunnel hiccups via --auto_restart. Health-gated on entry only
 # (--no_post): a mid-run degraded window costs wall time, not correctness.
-REMEASURE_FLAGS="--no_post" run "flagship_512" 900 \
+# FLAGSHIP_EXTRA_FLAGS lets the watcher's accuracy tier relax the entry bar
+# (--degraded_ms 300) — last flag wins in remeasure's argparse.
+REMEASURE_FLAGS="--no_post ${FLAGSHIP_EXTRA_FLAGS:-}" run "flagship_512" 900 \
   -m cvm_tpu.cli.train --model centernet --data synthetic \
   --steps 5000 --eval_every 2500 --eval_batches 12 --keep_best mAP \
   --workdir runs/flagship_512 --pad_hw 512,512 \

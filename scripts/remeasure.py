@@ -36,6 +36,11 @@ def main(argv=None):
     )
     parser.add_argument("--max_wait", type=float, default=1200.0,
                         help="seconds to wait for the tunnel to recover")
+    parser.add_argument("--degraded_ms", type=float, default=DEGRADED_MS,
+                        help="probe threshold to accept (ms/dispatch). Keep "
+                             "the default for PERF numbers; ACCURACY runs "
+                             "(train-to-eval) may relax it — degradation "
+                             "slows them without poisoning the result")
     parser.add_argument("--no_post", action="store_true",
                         help="skip the post-run probe: for ACCURACY runs "
                              "(train-to-eval), where a mid-run degraded "
@@ -51,10 +56,11 @@ def main(argv=None):
 
     from bench import _tunnel_health_probe, _probe_once  # noqa: E402
 
+    thr = args.degraded_ms
     pre_ms = _tunnel_health_probe(max_wait_s=args.max_wait)
     print(f"[remeasure] pre-probe: {pre_ms:.2f} ms/dispatch", flush=True)
-    if pre_ms == float("inf") or pre_ms > DEGRADED_MS:
-        print(f"[remeasure] tunnel degraded (> {DEGRADED_MS} ms) after "
+    if pre_ms == float("inf") or pre_ms > thr:
+        print(f"[remeasure] tunnel degraded (> {thr} ms) after "
               f"{args.max_wait:.0f}s wait — refusing to measure", flush=True)
         return 2
 

@@ -57,6 +57,22 @@ def _mostly_cached(out_dir):
             (out_dir / f"{s}.ok").touch()
 
 
+def test_measure_steps_filter_runs_only_named_step(tmp_path):
+    """MEASURE_STEPS (the watcher's accuracy tier) runs ONLY the named step;
+    everything else is SKIPPED(filter) and the session reports partial
+    (exit != 0) even when the named step succeeds, so the full-tier watcher
+    exit never triggers off a filtered session."""
+    out = tmp_path / "measure"
+    out.mkdir()
+    (out / "flagship_512.ok").touch()  # the named step: cached OK
+    proc = _run(out, {"MEASURE_STEPS": "flagship_512"})
+    assert proc.returncode != 0
+    assert proc.stdout.count("SKIPPED(filter)") == len(STEPS) - 1, proc.stdout
+    assert "flagship_512: OK(cached)" in proc.stdout
+    # No filtered step left an .ok marker behind.
+    assert sorted(p.name for p in out.glob("*.ok")) == ["flagship_512.ok"]
+
+
 def test_stale_bench_mark_is_cleared_and_queue_proceeds(tmp_path):
     # bench.py was SIGKILLed mid-measurement (or its watchdog hard-exited
     # before round 4's cleanup): the BENCH_RUNNING pid is dead, so the
