@@ -1,0 +1,93 @@
+"""Collect the measurement session's outputs into one auditable file.
+
+``python scripts/collect_results.py [--out runs/measure]``
+
+Every queue step (scripts/measure_all.sh) writes a log under runs/measure/;
+the benchmarks inside emit JSON lines. This gathers, per step: captured
+JSON records, OK/FAILED status (the ``.ok`` marker), and the remeasure
+pre/post probes — emitting ``RESULTS.json`` + a human ``RESULTS.md`` next
+to the logs. The doc tables (PARITY.md "Benchmark surface", DESIGN.md §9)
+are then updated FROM this file, so every number in the repo traces to one
+timestamped capture (VERDICT r3 #1 "single-source the results").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+from typing import Any, Dict, List
+
+
+def parse_log(path: str) -> Dict[str, Any]:
+    records: List[Dict[str, Any]] = []
+    probes: Dict[str, float] = {}
+    eval_lines: List[str] = []
+    with open(path, errors="replace") as f:
+        for line in f:
+            line = line.strip()
+            m = re.match(r"\[remeasure\] (pre|post)-probe: ([0-9.]+)", line)
+            if m:
+                probes[m.group(1)] = float(m.group(2))
+            if "[cvm_tpu] eval" in line:
+                eval_lines.append(line)
+            if line.startswith("{"):
+                try:
+                    d = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(d, dict):
+                    records.append(d)
+    return {"records": records, "probes": probes, "eval_lines": eval_lines}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--out", default="runs/measure")
+    args = parser.parse_args(argv)
+    out = args.out
+    if not os.path.isdir(out):
+        raise SystemExit(f"no measurement directory at {out}")
+
+    steps: Dict[str, Any] = {}
+    for name in sorted(os.listdir(out)):
+        if not name.endswith(".log"):
+            continue
+        step = name[:-4]
+        parsed = parse_log(os.path.join(out, name))
+        parsed["ok"] = os.path.exists(os.path.join(out, f"{step}.ok"))
+        parsed["log_mtime"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ",
+            time.gmtime(os.path.getmtime(os.path.join(out, name))))
+        steps[step] = parsed
+
+    result = {"collected_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+              "steps": steps}
+    with open(os.path.join(out, "RESULTS.json"), "w") as f:
+        json.dump(result, f, indent=2, sort_keys=True)
+
+    lines = [f"# Measurement session results ({result['collected_at']})", ""]
+    for step, p in steps.items():
+        status = "OK" if p["ok"] else "FAILED/partial"
+        probe = ", ".join(f"{k} {v:.1f} ms" for k, v in p["probes"].items())
+        lines.append(f"## {step} — {status} ({p['log_mtime']}"
+                     + (f"; probes: {probe}" if probe else "") + ")")
+        lines.append("")
+        for r in p["records"]:
+            lines.append(f"- `{json.dumps(r, sort_keys=True)}`")
+        for e in p["eval_lines"]:
+            lines.append(f"- {e}")
+        lines.append("")
+    with open(os.path.join(out, "RESULTS.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}/RESULTS.json and RESULTS.md "
+          f"({len(steps)} steps, "
+          f"{sum(1 for p in steps.values() if p['ok'])} ok)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
