@@ -24,7 +24,7 @@ trap 'kill -TERM "$pid" 2>/dev/null' TERM INT
 stopped=0
 while kill -0 "$pid" 2>/dev/null; do
   live=0
-  for f in runs/MEASURING runs/BENCH_RUNNING; do
+  for f in runs/MEASURING runs/BENCH_RUNNING runs/PROBING; do
     if [[ -e "$f" ]]; then
       p="$(cat "$f" 2>/dev/null || true)"
       if [[ -n "$p" ]] && kill -0 "$p" 2>/dev/null; then live=1; fi

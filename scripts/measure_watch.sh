@@ -20,12 +20,20 @@ OUT="${MEASURE_OUT:-runs/measure}"
 mkdir -p runs "$OUT"
 
 probe_ms() {
-  timeout 180 python - <<'EOF' 2>/dev/null | tail -1
+  # Hold runs/PROBING (pid) so scripts/host_heavy.sh pauses host-heavy work
+  # during the probe — a probe sharing the single core with a test suite or
+  # e2e run reads falsely degraded/stalled and can miss a real window.
+  echo "$$" > runs/PROBING
+  local out
+  out="$(timeout 180 python - <<'EOF' 2>/dev/null | tail -1
 import sys
 sys.path.insert(0, ".")
 from bench import _probe_once
 print(_probe_once())
 EOF
+)"
+  rm -f runs/PROBING
+  echo "$out"
 }
 
 while true; do
