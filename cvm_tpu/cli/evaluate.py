@@ -118,7 +118,7 @@ def main(argv=None):
         from cvm_tpu.data.loader import RecordLoader
         from cvm_tpu.data.records import RecordDataset
 
-        ds = RecordDataset([args.data])
+        ds = RecordDataset([p for p in args.data.split(",") if p])
         train_ids, val_ids = ds.split_ids()
         ids = {"val": val_ids, "train": train_ids, "all": None}[args.split]
         val = RecordLoader(ds, cfg.batch_size, pad_hw, ids=ids, shuffle=False,

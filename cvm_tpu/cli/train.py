@@ -15,7 +15,9 @@ import jax
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", required=True, help="zoo name: centernet|semseg|depth|multitask|dmds")
-    parser.add_argument("--data", default="synthetic", help="'synthetic' or .cvrec glob")
+    parser.add_argument("--data", default="synthetic",
+                        help="'synthetic' or .cvrec glob(s); comma-separate "
+                             "to mix datasets (matched label spaces)")
     parser.add_argument("--steps", type=int, default=1000)
     parser.add_argument("--workdir", default="runs/default")
     parser.add_argument("--checkpoint_every", type=int, default=1000)
@@ -162,7 +164,7 @@ def main(argv=None):
         from cvm_tpu.data.loader import RecordLoader
         from cvm_tpu.data.records import RecordDataset
 
-        ds = RecordDataset([args.data])
+        ds = RecordDataset([p for p in args.data.split(",") if p])
         # Multi-host: each process reads its own stride of the train ids.
         train_ids, _ = ds.split_ids(
             shard_index=jax.process_index(), num_shards=jax.process_count()
