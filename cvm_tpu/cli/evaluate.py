@@ -37,6 +37,10 @@ def main(argv=None):
                              "cost; rejected for with_3d/dmds)")
     parser.add_argument("--size_ap", action="store_true",
                         help="report COCO-style mAP_small/medium/large")
+    parser.add_argument("--pr_out", default=None, metavar="FILE",
+                        help="write per-class precision/recall operating "
+                             "curves (IoU 0.5) as JSON — pick the deployment "
+                             "score_threshold from measured data")
     parser.add_argument("--confusion", action="store_true",
                         help="include the row-normalized semseg confusion "
                              "matrix (confusion[gt][pred]) in the output")
@@ -134,7 +138,11 @@ def main(argv=None):
     m = evaluate_model(spec, cfg, variables, val, max_batches=args.batches,
                        mesh=trainer.mesh, per_class=args.per_class,
                        size_buckets=args.size_ap, confusion=args.confusion,
-                       tta=args.tta)
+                       pr_curves=args.pr_out is not None, tta=args.tta)
+    if args.pr_out:
+        with open(args.pr_out, "w") as f:
+            json.dump(m.pop("pr_curves"), f)
+        print(f"[cvm_tpu] PR curves -> {args.pr_out}", file=sys.stderr)
     print(f"[cvm_tpu] eval model={args.model} step={step} split={args.split}: "
           f"{json.dumps(m, sort_keys=True)}", flush=True)
     if args.json_out:

@@ -140,6 +140,37 @@ class DetectionEvaluator:
                     out[f"ap_class_{c}"] = float(np.nanmean(ap[c]))
         return out
 
+    def pr_curves(self, iou: float = 0.5, max_points: int = 101) -> Dict:
+        """Per-class operating-point curves at one IoU threshold:
+        score → (precision, recall), downsampled to max_points. This is the
+        data behind AP — exposed so a deployment score_threshold can be
+        picked from measured precision/recall instead of folklore."""
+        t = self.thresholds.index(iou)
+        curves: Dict[str, Dict[str, list]] = {}
+        for c in range(self.num_classes):
+            if self._n_gt[c] == 0 or not self._dets[c]:
+                continue
+            dets = sorted(self._dets[c], key=lambda x: -x[0])
+            scores = np.asarray([d[0] for d in dets])
+            tps = np.stack([d[1] for d in dets])[:, t]
+            use = ~np.stack([d[2] for d in dets])[:, t]
+            scores, tp = scores[use], tps[use].astype(np.float64)
+            if not len(scores):
+                continue
+            ctp = np.cumsum(tp)
+            cfp = np.cumsum(1.0 - tp)
+            recall = ctp / self._n_gt[c]
+            precision = ctp / np.maximum(ctp + cfp, 1e-9)
+            idx = np.unique(np.linspace(0, len(scores) - 1,
+                                        min(max_points, len(scores))).astype(int))
+            curves[str(c)] = {
+                "score": np.round(scores[idx], 4).tolist(),
+                "precision": np.round(precision[idx], 4).tolist(),
+                "recall": np.round(recall[idx], 4).tolist(),
+                "n_gt": int(self._n_gt[c]),
+            }
+        return {"iou": iou, "classes": curves}
+
 
 class Detection3dEvaluator:
     """Monocular 3D box quality on 2D-matched true positives.
@@ -282,6 +313,7 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
                    per_class: bool = False,
                    size_buckets: bool = False,
                    confusion: bool = False,
+                   pr_curves: bool = False,
                    tta: str = "none") -> Dict[str, float]:
     """Run the e2e pipeline over a loader and compute task metrics.
 
@@ -395,6 +427,8 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
     metrics: Dict[str, float] = {}
     if det_eval is not None:
         metrics.update(det_eval.compute(per_class=per_class))
+        if pr_curves:
+            metrics["pr_curves"] = det_eval.pr_curves()
     for name, ev in bucket_evals.items():
         metrics[f"mAP_{name}"] = ev.compute()["mAP"]
     if det3d_eval is not None:

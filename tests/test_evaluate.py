@@ -63,6 +63,23 @@ def test_semseg_evaluator():
     assert m["miou"] < 1.0
 
 
+def test_detection_pr_curves():
+    """Operating-point export: 2 GTs, 3 dets (hit@0.9, miss@0.8, hit@0.7) →
+    cumulative precision 1, 1/2, 2/3 at recall 1/2, 1/2, 1."""
+    ev = DetectionEvaluator(num_classes=1, iou_thresholds=(0.5,))
+    gt = np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    det = np.asarray([[0, 0, 10, 10], [50, 50, 60, 60], [20, 20, 30, 30]],
+                     np.float32)
+    ev.add_image(det, np.asarray([0.9, 0.8, 0.7]), np.zeros(3, np.int64),
+                 gt, np.zeros(2, np.int64))
+    pr = ev.pr_curves(iou=0.5)
+    c = pr["classes"]["0"]
+    assert pr["iou"] == 0.5 and c["n_gt"] == 2
+    assert c["score"] == [0.9, 0.8, 0.7]
+    assert c["precision"] == [1.0, 0.5, pytest.approx(0.6667, abs=1e-3)]
+    assert c["recall"] == [0.5, 0.5, 1.0]
+
+
 def test_semseg_confusion_matrix_row_normalized():
     ev = SemsegEvaluator(num_classes=2)
     # GT class 0: 3 px (2 right, 1 called class 1); GT class 1: 1 px right.
