@@ -421,6 +421,18 @@ class ModelServer:
                       ready_cb: Optional[Callable[[int], None]] = None) -> None:
         self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
         actual_port = self._httpd.server_address[1]
+        try:
+            # Supervisors stop daemons with SIGTERM: drain cleanly (close the
+            # listener + batcher) instead of dying mid-dispatch. Only valid
+            # on the main thread — tests run serve_forever on a worker thread
+            # and shut down via .shutdown() instead.
+            import signal
+
+            signal.signal(signal.SIGTERM,
+                          lambda *_: threading.Thread(
+                              target=self.shutdown, daemon=True).start())
+        except ValueError:
+            pass
         # Bind BEFORE warmup so a supervisor sees the socket early, but
         # /healthz stays 503 until the warmup batch has been served.
         t = threading.Thread(target=self.warmup, daemon=True)
