@@ -183,8 +183,13 @@ def run_video(
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--model", required=True)
-    parser.add_argument("--checkpoint_dir", required=True)
+    parser.add_argument("--model", default=None,
+                        help="zoo model name (with --checkpoint_dir)")
+    parser.add_argument("--checkpoint_dir", default=None)
+    parser.add_argument("--artifact", default=None,
+                        help="run an EXPORTED artifact dir instead of a "
+                             "checkpoint (rgb artifacts; the deployment-side "
+                             "visual check)")
     parser.add_argument("--video", required=True, help="input video file")
     parser.add_argument("--out", default=None, help="annotated output video")
     parser.add_argument("--jsonl", default=None,
@@ -203,19 +208,58 @@ def main(argv=None):
         parser.error("need --out and/or --jsonl")
     if args.stride < 1:
         parser.error("--stride must be >= 1")
+    if bool(args.artifact) == bool(args.checkpoint_dir):
+        parser.error("need exactly one of --checkpoint_dir (with --model) "
+                     "or --artifact")
+    if args.checkpoint_dir and not args.model:
+        parser.error("--checkpoint_dir requires --model")
 
     from cvm_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
 
-    from cvm_tpu.infer.pipeline import InferencePipeline
-    from cvm_tpu.models import get_model
-    from cvm_tpu.train.checkpoints import load_params_cfg
-    from cvm_tpu.train.loop import Trainer
+    batch_size = args.batch_size
+    if args.artifact:
+        from cvm_tpu.infer.runtime import ServingModel
 
-    spec = get_model(args.model)
-    cfg = load_params_cfg(args.checkpoint_dir, spec.params_cls)
-    two_frame = spec.name == "dmds"
+        model = ServingModel(args.artifact)
+        meta = model.meta
+        if model.input_format != "rgb":
+            parser.error("video serves rgb artifacts (export without "
+                         "--input_format yuv420 for clips)")
+        if args.tta != "none":
+            parser.error("--tta is baked at export time for artifacts")
+        two_frame = meta.get("model") == "dmds"
+        batch_size = int(meta.get("batch_size", 1))
+        art_hw = tuple(meta.get("pad_hw", (0, 0)))
+
+        def predict(batch):
+            from cvm_tpu.utils.batch import pad_rows
+
+            h = np.minimum(batch["image_hw"], np.asarray(art_hw, np.int32))
+            imgs = np.zeros((batch["image"].shape[0], *art_hw, 3), np.uint8)
+            for i in range(imgs.shape[0]):
+                imgs[i, :h[i, 0], :h[i, 1]] = \
+                    batch["image"][i, :h[i, 0], :h[i, 1]]
+            data = (imgs, h)
+            if two_frame:
+                t1 = np.zeros_like(imgs)
+                for i in range(imgs.shape[0]):
+                    t1[i, :h[i, 0], :h[i, 1]] = \
+                        batch["image_t1"][i, :h[i, 0], :h[i, 1]]
+                data += (t1,)
+            return model(*pad_rows(data, batch_size))
+
+        cfg = None
+    else:
+        from cvm_tpu.infer.pipeline import InferencePipeline
+        from cvm_tpu.models import get_model
+        from cvm_tpu.train.checkpoints import load_params_cfg
+        from cvm_tpu.train.loop import Trainer
+
+        spec = get_model(args.model)
+        cfg = load_params_cfg(args.checkpoint_dir, spec.params_cls)
+        two_frame = spec.name == "dmds"
 
     fps, frames = read_frames(args.video, args.stride, args.max_frames,
                               args.resize_long, pairs=two_frame)
@@ -226,17 +270,24 @@ def main(argv=None):
         raise SystemExit("video has no frames (two-frame models need >= 2)")
     pad_hw = tuple(first[1].shape[:2])
 
-    trainer = Trainer(spec, cfg, checkpoint_dir=args.checkpoint_dir)
-    trainer.init_state()
-    variables = {"params": trainer.eval_params,
-                 "batch_stats": trainer.state.batch_stats}
-    pipe = InferencePipeline(spec, cfg, variables, mesh=trainer.mesh,
-                             tta=args.tta)
+    if args.artifact:
+        if pad_hw[0] > art_hw[0] or pad_hw[1] > art_hw[1]:
+            parser.error(
+                f"clip frames are {pad_hw} but the artifact's static canvas "
+                f"is {art_hw} — use --resize_long {min(art_hw)} (or "
+                f"re-export with a bigger pad_hw)")
+    else:
+        trainer = Trainer(spec, cfg, checkpoint_dir=args.checkpoint_dir)
+        trainer.init_state()
+        variables = {"params": trainer.eval_params,
+                     "batch_stats": trainer.state.batch_stats}
+        predict = InferencePipeline(spec, cfg, variables, mesh=trainer.mesh,
+                                    tta=args.tta)
 
     import itertools
 
     n = run_video(
-        pipe, itertools.chain([first], frames), args.batch_size, pad_hw,
+        predict, itertools.chain([first], frames), batch_size, pad_hw,
         fps / args.stride, args.out, args.jsonl, args.score_threshold,
         two_frame=two_frame,
         class_names=getattr(cfg, "class_names", None),

@@ -121,6 +121,47 @@ def test_run_video_two_frame_motion_records(tmp_path):
 
 
 @pytest.mark.slow
+def test_video_cli_over_exported_artifact(tmp_path, rng):
+    """--artifact: the deployment-side visual check — a clip through the
+    exported StableHLO program (no zoo code), frames re-canvased to the
+    artifact's static shape."""
+    import itertools
+
+    from cvm_tpu.cli.export import export_model
+    from cvm_tpu.cli.video import main
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16, class_weights=(1.0, 1.0, 1.0),
+                        batch_size=8, warmup_steps=1, total_steps=10)
+    ckdir = str(tmp_path / "ck")
+    tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=1,
+                 log_every=1)
+    tr.init_state()
+    pool = [synthetic_batch(np.random.default_rng(0), 8, (48, 48),
+                            num_classes=3)]
+    tr.fit(itertools.cycle(pool), 1)
+    tr.ckpt.wait()
+    art = str(tmp_path / "art")
+    export_model("semseg", ckdir, art, batch_size=2, pad_hw=(64, 80))
+
+    path = _write_video(tmp_path / "in.mp4", n=3)  # 48x64 frames fit 64x80
+    out_jsonl = str(tmp_path / "out.jsonl")
+    rc = main(["--artifact", art, "--video", path, "--jsonl", out_jsonl,
+               "--out", str(tmp_path / "out.mp4")])
+    assert rc == 0
+    recs = [json.loads(l) for l in open(out_jsonl)]
+    assert len(recs) == 3 and all("class_histogram" in r for r in recs)
+    # An oversized clip is rejected with the remediation in the message.
+    big = _write_video(tmp_path / "big.mp4", n=2, hw=(96, 128))
+    with pytest.raises(SystemExit):
+        main(["--artifact", art, "--video", big, "--jsonl", out_jsonl])
+
+
+@pytest.mark.slow
 def test_video_cli_end_to_end(tmp_path, rng):
     """main(): train one step, run the real pipeline over a clip."""
     import itertools
