@@ -27,6 +27,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import signal
 import sys
 import threading
 import time
@@ -83,6 +84,18 @@ _STATUS: dict = {"stage": "start", "tunnel_probe_ms": None, "ours": None}
 _EMIT_LOCK = threading.Lock()
 _EMITTED = False
 _BENCH_MARK: str | None = None  # runs/BENCH_RUNNING, for watchdog cleanup
+_FLAGSHIP_STOPPED: int | None = None  # SIGSTOPped flagship pid, to SIGCONT
+
+
+def _resume_flagship() -> None:
+    """SIGCONT the paused persistent flagship trainer (idempotent)."""
+    global _FLAGSHIP_STOPPED
+    if _FLAGSHIP_STOPPED is not None:
+        try:
+            os.kill(_FLAGSHIP_STOPPED, signal.SIGCONT)
+        except OSError:
+            pass
+        _FLAGSHIP_STOPPED = None
 
 
 def _emit_line(payload: dict) -> bool:
@@ -182,6 +195,8 @@ def _install_deadline_watchdog() -> threading.Timer:
                 os.remove(_BENCH_MARK)
             except OSError:
                 pass
+        # Same reason: never leave the flagship trainer frozen in SIGSTOP.
+        _resume_flagship()
         # The main thread may be hung inside a device RPC that never
         # returns — a daemon timer + hard exit is the only reliable out.
         os._exit(0)
@@ -539,6 +554,26 @@ def _coordinate_with_measure_queue() -> None:
         f.write(str(os.getpid()))
     _BENCH_MARK = mark
     atexit.register(lambda: os.path.exists(mark) and os.remove(mark))
+
+    # The persistent flagship trainer (scripts/flagship_persist.sh) shares
+    # the chip and the single host core: SIGSTOP it for the bench's duration
+    # (a paused trainer costs wall time only; its progress is checkpointed
+    # and its watchdog pauses with it). Resumed at exit — including the
+    # deadline watchdog's os._exit path.
+    global _FLAGSHIP_STOPPED
+    try:
+        with open(os.path.join(runs, "FLAGSHIP_RUNNING")) as f:
+            fpid = int(f.read().strip() or "0")
+        if fpid > 0:
+            os.kill(fpid, signal.SIGSTOP)
+            _FLAGSHIP_STOPPED = fpid
+            _STATUS["flagship_paused"] = True
+            print(f"bench: paused flagship trainer pid {fpid} for the "
+                  "measurement", file=sys.stderr, flush=True)
+            time.sleep(3)  # let its in-flight dispatch window drain
+    except (OSError, ValueError):
+        pass
+    atexit.register(_resume_flagship)
 
     def _lock_live(path: str) -> bool:
         if not os.path.exists(path):

@@ -18,7 +18,13 @@ def main(argv=None):
     parser.add_argument("--data", default="synthetic",
                         help="'synthetic' or .cvrec glob(s); comma-separate "
                              "to mix datasets (matched label spaces)")
-    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument(
+        "--steps", type=int, default=1000,
+        help="TOTAL training steps (global step target): a run resumed from "
+             "a checkpoint trains only the remainder, so re-invoking the "
+             "same command is idempotent (required by --auto_restart and "
+             "the persistent flagship runner, scripts/flagship_persist.sh)",
+    )
     parser.add_argument("--workdir", default="runs/default")
     parser.add_argument("--checkpoint_every", type=int, default=1000)
     parser.add_argument("--log_every", type=int, default=50)
@@ -188,8 +194,16 @@ def main(argv=None):
 
     sample = next(it)
     trainer.init_state(sample)
+    start_step = int(trainer.state.step)
     print(f"[cvm_tpu] model={args.model} devices={jax.device_count()} "
-          f"start_step={int(trainer.state.step)}", flush=True)
+          f"start_step={start_step}", flush=True)
+    if start_step > 0 and args.steps > 0:
+        # --steps is the TOTAL target: a resumed process (auto-restart
+        # re-exec, persistent flagship relaunch, manual re-invocation) trains
+        # only the remainder instead of overshooting by another full budget.
+        args.steps = max(0, args.steps - start_step)
+        print(f"[cvm_tpu] resume: {args.steps} of the --steps total remain",
+              flush=True)
 
     best = None
     if args.keep_best:
@@ -306,6 +320,11 @@ def main(argv=None):
         args.eval_every = 0
     if args.eval_every > 0:
         remaining = args.steps
+        if remaining == 0 and start_step > 0:
+            # Resumed past the step target (e.g. killed between the final fit
+            # and its eval): ensure the final eval — and the --keep_best
+            # checkpoint it selects — still exists.
+            run_eval()
         while remaining > 0:
             chunk = min(args.eval_every, remaining)
             metrics = trainer.fit(it, chunk)

@@ -23,8 +23,18 @@ probe_ms() {
   # Hold runs/PROBING (pid) so scripts/host_heavy.sh pauses host-heavy work
   # during the probe — a probe sharing the single core with a test suite or
   # e2e run reads falsely degraded/stalled and can miss a real window.
+  # The persistent flagship trainer shares the CHIP as well: SIGSTOP it for
+  # the probe's duration or its in-flight dispatches queue ahead of the
+  # probe matmul and every window reads falsely degraded.
   echo "$$" > runs/PROBING
-  local out
+  local out fpid=""
+  fpid="$(cat runs/FLAGSHIP_RUNNING 2>/dev/null || true)"
+  if [[ -n "$fpid" ]] && kill -0 "$fpid" 2>/dev/null; then
+    kill -STOP "$fpid" 2>/dev/null || fpid=""
+    sleep 3  # let its ~8-deep in-flight window drain off the chip
+  else
+    fpid=""
+  fi
   out="$(timeout 180 python - <<'EOF' 2>/dev/null | tail -1
 import sys
 sys.path.insert(0, ".")
@@ -32,22 +42,54 @@ from bench import _probe_once
 print(_probe_once())
 EOF
 )"
+  [[ -n "$fpid" ]] && kill -CONT "$fpid" 2>/dev/null
   rm -f runs/PROBING
   echo "$out"
 }
 
+lock_live() { # <path> — pid-stamped lock liveness (stale pid = not live)
+  local p
+  [[ -e "$1" ]] || return 1
+  p="$(cat "$1" 2>/dev/null || true)"
+  [[ -z "$p" ]] && return 0
+  kill -0 "$p" 2>/dev/null
+}
+
+# The flagship accuracy run is owned by scripts/flagship_persist.sh — ungated
+# (a train-to-eval result is valid at any relay speed; the old accuracy tier's
+# gate-then-launch sequence kept losing the oscillating tunnel). The watcher
+# supervises it: restart a dead loop, and SIGCONT an orphaned-SIGSTOP trainer
+# (a measurement step pauses it; a SIGKILLed measurer could leave it frozen).
+ensure_flagship() {
+  [[ -e "$OUT/flagship_512.ok" ]] && return 0
+  local p run_pid state
+  run_pid="$(cat runs/FLAGSHIP_RUNNING 2>/dev/null || true)"
+  if [[ -n "$run_pid" ]] && kill -0 "$run_pid" 2>/dev/null; then
+    state="$(ps -o stat= -p "$run_pid" 2>/dev/null || true)"
+    if [[ "$state" == T* ]] && ! lock_live runs/MEASURING \
+        && ! lock_live runs/BENCH_RUNNING; then
+      echo "$(date -Is) flagship pid $run_pid orphaned in SIGSTOP — resuming"
+      kill -CONT "$run_pid" 2>/dev/null || true
+    fi
+  fi
+  p="$(cat runs/FLAGSHIP_PERSIST 2>/dev/null || true)"
+  if [[ -z "$p" ]] || ! kill -0 "$p" 2>/dev/null; then
+    echo "$(date -Is) starting persistent flagship run (scripts/flagship_persist.sh)"
+    nohup bash scripts/flagship_persist.sh >> runs/flagship_persist.log 2>&1 &
+  fi
+}
+
 while true; do
+  ensure_flagship
   ms="$(probe_ms || true)"
   ms="${ms:-inf}"
   echo "$(date -Is) probe=${ms} ms/dispatch" | tee -a runs/PROBE_LAST
-  # Tiers: full (<10 ms — timing-grade, every step) / accuracy (<300 ms —
-  # a train-to-eval result is valid at any relay speed; only wall time
-  # suffers, so don't let a never-healthy round lose the flagship mAP).
+  # Timing tier: <10 ms/dispatch = timing-grade window, run the full queue.
   tier="$(python -c "
 m='$ms'
 try:
     v = float(m)
-    print('full' if v < 10.0 else ('accuracy' if v < 300.0 else 'none'))
+    print('full' if v < 10.0 else 'none')
 except ValueError:
     print('none')
 ")"
@@ -60,11 +102,6 @@ except ValueError:
       exit 0
     fi
     echo "$(date -Is) some steps FAILED (window closed?) — will retry"
-  elif [[ "$tier" == "accuracy" && ! -e "$OUT/flagship_512.ok" ]]; then
-    echo "$(date -Is) tunnel usable (${ms} ms) — accuracy-tier: flagship run"
-    MEASURE_OUT="$OUT" MEASURE_STEPS="flagship_512" \
-      FLAGSHIP_EXTRA_FLAGS="--degraded_ms 300 --max_wait 60" \
-      bash scripts/measure_all.sh || true
   fi
   sleep "$INTERVAL"
 done

@@ -163,6 +163,35 @@ def test_measure_lock_stale_pid_cleared_no_wait(tmp_path):
     assert not (runs / "MEASURING").exists()
 
 
+def test_bench_pauses_and_resumes_flagship_trainer(tmp_path):
+    """The driver's bench SIGSTOPs a live persistent flagship trainer
+    (runs/FLAGSHIP_RUNNING) for the measurement's duration and SIGCONTs it
+    at exit — on every path, including an early refusal."""
+    import signal
+    import subprocess as sp
+
+    runs = tmp_path / "runs"
+    runs.mkdir()
+    sleeper = sp.Popen([sys.executable, "-c", "import time; time.sleep(120)"])
+    try:
+        (runs / "FLAGSHIP_RUNNING").write_text(str(sleeper.pid))
+        proc = _run_bench({
+            "CVM_BENCH_RUNS_DIR": str(runs),
+            "CVM_BENCH_FAKE_PROBE_MS": "100",
+            "CVM_BENCH_PROBE_WAIT_S": "1",
+            "CVM_BENCH_DEADLINE_S": "120",
+        })
+        assert proc.returncode == 0
+        assert f"paused flagship trainer pid {sleeper.pid}" in proc.stderr
+        with open(f"/proc/{sleeper.pid}/stat") as f:
+            state = f.read().split(")")[-1].split()[0]
+        assert state != "T", "bench left the flagship trainer SIGSTOPped"
+    finally:
+        sleeper.send_signal(signal.SIGCONT)
+        sleeper.kill()
+        sleeper.wait()
+
+
 def test_deadline_watchdog_fires_during_hung_measurement(tmp_path):
     # A healthy probe lets measurement start; the CPU compile of the full
     # e2e program takes far longer than 6 s, so the deadline fires while the

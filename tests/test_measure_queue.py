@@ -26,10 +26,13 @@ def _run(out_dir, extra_env):
         "MEASURE_MAX_WAIT": "1",
         "JAX_PLATFORMS": "cpu",
         # Hermetic by default: never pause a test run on the real driver
-        # bench's runs/BENCH_RUNNING mark, and never touch the real
-        # runs/MEASURING lock (tests override to rehearse the protocol).
+        # bench's runs/BENCH_RUNNING mark, never touch the real
+        # runs/MEASURING lock, and never see (or pause!) a real persistent
+        # flagship run (tests override to rehearse the protocol).
         "BENCH_MARK_PATH": str(out_dir) + ".bench_running",
         "MEASURING_PATH": str(out_dir) + ".measuring",
+        "FLAGSHIP_PID_FILE": str(out_dir) + ".flagship_running",
+        "FLAGSHIP_PERSIST_FILE": str(out_dir) + ".flagship_persist",
     })
     env.update(extra_env)
     return subprocess.run(
@@ -120,6 +123,97 @@ def test_live_bench_mark_pauses_then_budget_expires(tmp_path):
     })
     assert "bench still running" in proc.stdout, proc.stdout
     assert mark.exists()  # the queue never removes a live driver's mark
+
+
+def test_flagship_step_left_to_live_persist_loop(tmp_path):
+    """A live scripts/flagship_persist.sh loop OWNS the flagship step: the
+    queue must not double-run the 512x512 training (two trainers on one chip)
+    but must still report the session partial so the watcher keeps retrying
+    until the persist loop drops the .ok marker."""
+    out = tmp_path / "measure"
+    out.mkdir()
+    for s in STEPS:
+        if s != "flagship_512":
+            (out / f"{s}.ok").touch()
+    persist = tmp_path / "persist_pid"
+    persist.write_text(str(os.getpid()))  # this test process: alive
+    proc = _run(out, {"FLAGSHIP_PERSIST_FILE": str(persist)})
+    assert proc.returncode != 0
+    assert "flagship_512: EXTERNAL(persist-loop)" in proc.stdout, proc.stdout
+    assert not (out / "flagship_512.ok").exists()
+    # Once the persist loop records success, the queue reports cached-OK
+    # and the session is complete (watcher exit condition).
+    (out / "flagship_512.ok").touch()
+    proc = _run(out, {"FLAGSHIP_PERSIST_FILE": str(persist)})
+    assert proc.returncode == 0
+    assert "flagship_512: OK(cached)" in proc.stdout
+
+
+def test_steps_pause_and_resume_flagship_trainer(tmp_path):
+    """Timing-grade steps SIGSTOP the persistent flagship trainer for their
+    duration (chip + single-core contention would corrupt the measurement)
+    and SIGCONT it after — it must never be left frozen."""
+    import signal
+    import subprocess as sp
+    import sys as _sys
+
+    out = tmp_path / "measure"
+    _mostly_cached(out)
+    sleeper = sp.Popen([_sys.executable, "-c", "import time; time.sleep(120)"])
+    try:
+        pidfile = tmp_path / "flagship_running"
+        pidfile.write_text(str(sleeper.pid))
+        proc = _run(out, {
+            "CVM_BENCH_FAKE_PROBE_MS": "100",
+            "FLAGSHIP_PID_FILE": str(pidfile),
+        })
+        assert f"pausing flagship run pid {sleeper.pid}" in proc.stdout, proc.stdout
+        with open(f"/proc/{sleeper.pid}/stat") as f:
+            state = f.read().split(")")[-1].split()[0]
+        assert state != "T", "flagship trainer left SIGSTOPped by the queue"
+    finally:
+        sleeper.send_signal(signal.SIGCONT)
+        sleeper.kill()
+        sleeper.wait()
+
+
+def test_persist_loop_relaunches_until_complete(tmp_path):
+    """scripts/flagship_persist.sh: relaunch-on-exit loop converges — a
+    failing attempt backs off and retries; an attempt that exits 0 with the
+    best checkpoint recorded marks flagship_512.ok and cleans its pid files."""
+    out = tmp_path / "measure"
+    wd = tmp_path / "wd"
+    out.mkdir()
+    cnt = tmp_path / "cnt"
+    env = dict(os.environ)
+    env.update({
+        "MEASURE_OUT": str(out),
+        "FLAGSHIP_WORKDIR": str(wd),
+        "FLAGSHIP_PERSIST_FILE": str(tmp_path / "persist_pid"),
+        "FLAGSHIP_RUN_FILE": str(tmp_path / "run_pid"),
+        "MEASURING_PATH": str(tmp_path / "measuring"),
+        "BENCH_MARK_PATH": str(tmp_path / "bench_running"),
+        "FLAGSHIP_BACKOFF_S": "1",
+        "FLAGSHIP_MAX_ATTEMPTS": "5",
+        # Attempt 1 crashes; attempt 2 "completes through eval" (exit 0 with
+        # best.json present) — the loop's success condition, not just rc.
+        "FLAGSHIP_TRAIN_CMD": (
+            f'c=$(cat "{cnt}" 2>/dev/null || echo 0); c=$((c+1)); '
+            f'echo $c > "{cnt}"; '
+            f'if [ "$c" -ge 2 ]; then mkdir -p "{wd}/best"; '
+            f'echo "{{}}" > "{wd}/best/best.json"; exit 0; fi; exit 1'
+        ),
+    })
+    proc = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "flagship_persist.sh")],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert (out / "flagship_512.ok").exists()
+    assert "flagship attempt 2" in proc.stdout
+    assert "COMPLETE (attempt 2)" in proc.stdout
+    assert not (tmp_path / "persist_pid").exists()
+    assert not (tmp_path / "run_pid").exists()
 
 
 @pytest.mark.slow
