@@ -56,10 +56,14 @@ echo "$$" > "$PIDFILE"
 trap 'rm -f "$PIDFILE" "$RUNFILE"' EXIT
 
 run_train() {
+  # exec: the backgrounded subshell REPLACES itself with the trainer, so
+  # $! (recorded in $RUNFILE) is the python pid itself — SIGSTOP/SIGCONT
+  # from timing-grade work must reach the process that owns the chip, not
+  # a wrapper. (cli.train's --auto_restart re-exec also preserves the pid.)
   if [[ -n "${FLAGSHIP_TRAIN_CMD:-}" ]]; then  # test hook
-    bash -c "$FLAGSHIP_TRAIN_CMD"
+    exec bash -c "$FLAGSHIP_TRAIN_CMD"
   else
-    python -m cvm_tpu.cli.train --model centernet --data synthetic \
+    exec python -m cvm_tpu.cli.train --model centernet --data synthetic \
       --steps 5000 --eval_every 2500 --eval_batches 12 --keep_best mAP \
       --workdir "$WORKDIR" --pad_hw 512,512 \
       --checkpoint_every 500 --log_every 100 --auto_restart 3 \
