@@ -60,6 +60,24 @@ def main(argv=None):
                         choices=["max", "min"],
                         help="whether higher (max) or lower (min) is better")
     parser.add_argument(
+        "--early_stop", type=int, default=0, metavar="PATIENCE",
+        help="with --keep_best: stop training after PATIENCE consecutive "
+             "evals without improvement on the --keep_best metric (the "
+             "Keras EarlyStopping analogue; the best checkpoint is already "
+             "in <workdir>/best when it fires)",
+    )
+    parser.add_argument(
+        "--model_parallel", type=int, default=1, metavar="N",
+        help="size of the mesh 'model' axis (Megatron TP degree); required "
+             ">= 2 when the model config sets tensor_parallel",
+    )
+    parser.add_argument(
+        "--dcn_slices", type=int, default=1, metavar="N",
+        help="multi-slice deployment: lay the data axis out slice-major so "
+             "gradient all-reduces decompose into per-slice ICI collectives "
+             "plus one small DCN exchange (parallel/mesh.py)",
+    )
+    parser.add_argument(
         "--profile_steps", type=int, default=0, metavar="N",
         help="capture a jax.profiler trace of N steady-state training steps "
              "to <workdir>/trace (after a short warmup so compiles stay out "
@@ -89,6 +107,9 @@ def main(argv=None):
     if args.eval_images > 0 and (args.eval_every <= 0 or not args.tensorboard):
         parser.error("--eval_images requires --eval_every and --tensorboard "
                      "(images land in the TB events file)")
+    if args.early_stop > 0 and not args.keep_best:
+        parser.error("--early_stop requires --keep_best (it defines the "
+                     "watched metric and direction)")
     if args.coordinator is not None and (
             args.num_processes is None or args.process_id is None):
         # Passing None into jax.distributed.initialize yields an opaque
@@ -121,6 +142,18 @@ def main(argv=None):
     spec = get_model(args.model)
     cfg = spec.params_cls.from_cli(overrides)
 
+    mesh = None
+    if args.model_parallel > 1 or args.dcn_slices > 1:
+        from cvm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(model_axis=args.model_parallel,
+                         dcn_slices=args.dcn_slices)
+    if getattr(cfg, "tensor_parallel", False) and args.model_parallel < 2:
+        # Without a real model axis the Megatron rules shard over a size-1
+        # axis — silently a no-op. Fail at the CLI boundary.
+        parser.error("--tensor_parallel true requires --model_parallel >= 2 "
+                     "(the mesh 'model' axis the TP rules shard over)")
+
     if args.pad_hw:
         from cvm_tpu.utils.config import parse_hw
 
@@ -134,6 +167,7 @@ def main(argv=None):
     trainer = Trainer(
         spec,
         cfg,
+        mesh=mesh,
         checkpoint_dir=f"{args.workdir}/checkpoints",
         metrics_path=f"{args.workdir}/metrics.jsonl" if is_proc0 else None,
         tensorboard_dir=f"{args.workdir}/tb" if (args.tensorboard and is_proc0) else None,
@@ -325,11 +359,24 @@ def main(argv=None):
             # and its eval): ensure the final eval — and the --keep_best
             # checkpoint it selects — still exists.
             run_eval()
+        stopper = None
+        if args.early_stop > 0:
+            from cvm_tpu.train.early_stop import EarlyStopper
+
+            stopper = EarlyStopper(args.keep_best, args.early_stop,
+                                   args.keep_best_mode)
         while remaining > 0:
             chunk = min(args.eval_every, remaining)
             metrics = trainer.fit(it, chunk)
-            run_eval()
+            m = run_eval()
             remaining -= chunk
+            if stopper is not None and stopper.update(m):
+                print(f"[cvm_tpu] early stop @step {int(trainer.state.step)}: "
+                      f"{args.keep_best} has not improved past "
+                      f"{stopper.best:.4f} for {args.early_stop} evals "
+                      f"(best checkpoint is in {args.workdir}/best)",
+                      flush=True)
+                break
     elif args.steps > 0:
         metrics = trainer.fit(it, args.steps)
     if args.data != "synthetic" and hasattr(loader, "stats"):

@@ -23,19 +23,65 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     model_axis: int = 1,
+    dcn_slices: int = 1,
 ) -> Mesh:
     """Build a ("data", "model") mesh over all (or given) devices.
 
     ``model_axis`` devices are assigned to the model axis (default 1 =
     pure data parallelism); the rest go to data.
+
+    ``dcn_slices > 1`` declares a multi-slice deployment (e.g. two v5e pods
+    joined over DCN). The axis NAMES stay ("data", "model") — GSPMD derives
+    collective hierarchy from device *placement*, not axis names, so no
+    PartitionSpec anywhere in the framework changes between single- and
+    multi-slice. What changes is the device ORDER inside the mesh array:
+    the data axis is laid out slice-major (every contiguous block of
+    ``data_per_slice`` rows lives on one slice), so the gradient all-reduce
+    decomposes into a fast per-slice reduce-scatter/all-gather over ICI plus
+    one small cross-slice exchange over DCN, instead of a flat ring that
+    hops the slow link every step. On hardware that reports
+    ``Device.slice_index`` this uses ``mesh_utils.create_hybrid_device_mesh``
+    (ICI-topology-aware within each slice); elsewhere (the CPU CI mesh) it
+    falls back to contiguous-block slice emulation with identical ordering
+    semantics.
+
+    TP stays intra-slice by construction: the "model" axis never crosses a
+    slice boundary (Megatron-split conv activations all-reduce every layer —
+    that traffic must ride ICI).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n % model_axis != 0:
         raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
-    arr = mesh_utils.create_device_mesh(
-        (n // model_axis, model_axis), devices=np.asarray(devices)
-    )
+    if dcn_slices <= 1:
+        arr = mesh_utils.create_device_mesh(
+            (n // model_axis, model_axis), devices=np.asarray(devices)
+        )
+        return Mesh(arr, ("data", "model"))
+
+    if n % (dcn_slices * model_axis) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by dcn_slices={dcn_slices} * "
+            f"model_axis={model_axis}"
+        )
+    per_slice = n // dcn_slices
+    data_per_slice = per_slice // model_axis
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if None not in slice_ids and len(slice_ids) == dcn_slices:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (data_per_slice, model_axis), (dcn_slices, 1), devices=devices
+        )
+    else:
+        # CI / single-slice emulation: contiguous device blocks stand in for
+        # slices. Ordering semantics match the hybrid path (slice-major data
+        # axis; model axis within a slice).
+        blocks = [
+            np.asarray(devices[i * per_slice:(i + 1) * per_slice]).reshape(
+                data_per_slice, model_axis
+            )
+            for i in range(dcn_slices)
+        ]
+        arr = np.concatenate(blocks, axis=0)
     return Mesh(arr, ("data", "model"))
 
 

@@ -152,6 +152,7 @@ class Trainer:
         seed: int = 0,
         restart_argv: Optional[list] = None,
         max_restarts: int = 3,
+        tx=None,
     ):
         self.spec = spec
         self.cfg = params_cfg
@@ -159,7 +160,9 @@ class Trainer:
         from cvm_tpu.models.registry import build_model
 
         self.model = build_model(spec, params_cfg, mesh=self.mesh)
-        self.tx = make_optimizer(
+        # ``tx`` overrides the config-derived optimizer (used by the LR-range
+        # finder, which sweeps learning rate with its own schedule).
+        self.tx = tx if tx is not None else make_optimizer(
             params_cfg.learning_rate,
             params_cfg.total_steps,
             params_cfg.warmup_steps,
