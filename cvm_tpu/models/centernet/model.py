@@ -28,7 +28,8 @@ class CenterNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         p = self.params
         feats = make_backbone(
-            p.backbone, getattr(p, "space_to_depth_stem", True)
+            p.backbone, getattr(p, "space_to_depth_stem", True),
+            remat=getattr(p, "remat", False),
         )(x, train)
         # Decode c5 (stride 32) up to stride `p.stride` with skip connections.
         h = feats["c5"]

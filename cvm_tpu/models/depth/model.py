@@ -36,7 +36,8 @@ class DepthNet(nn.Module):
         p = self.params
         H, W = x.shape[1], x.shape[2]
         feats = make_backbone(
-            p.backbone, getattr(p, "space_to_depth_stem", True)
+            p.backbone, getattr(p, "space_to_depth_stem", True),
+            remat=getattr(p, "remat", False),
         )(x, train)
         f = p.decoder_features
         h = feats["c5"]

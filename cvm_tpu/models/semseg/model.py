@@ -29,7 +29,8 @@ class SemsegNet(nn.Module):
     def __call__(self, x, train: bool = False):
         p = self.params
         feats = make_backbone(
-            p.backbone, getattr(p, "space_to_depth_stem", True)
+            p.backbone, getattr(p, "space_to_depth_stem", True),
+            remat=getattr(p, "remat", False),
         )(x, train)
         h = feats["c5"]
         f = p.decoder_features

@@ -71,6 +71,11 @@ class BaseParams:
     # lane utilization. Off = plain stride-2 RGB stem (the DESIGN §9
     # ablation lever; param shapes differ, so set it before init).
     space_to_depth_stem: bool = True
+    # Gradient checkpointing (backbones.py): rematerialise each residual
+    # block in the backward pass instead of keeping its activations live —
+    # larger batch/resolution per chip for ~1/3 extra backbone FLOPs. Safe
+    # to toggle on an existing checkpoint (params/outputs/grads unchanged).
+    remat: bool = False
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
