@@ -32,6 +32,7 @@ def multitask_loss(
         num_classes=params.num_seg_classes,
         class_weights=params.class_weights,
         ignore_index=params.ignore_index,
+        label_smoothing=getattr(params, "label_smoothing", 0.0),
     )
     l_seg, seg_m = semseg_loss({"logits": outputs["logits"]}, targets, seg_p)
 

@@ -29,6 +29,8 @@ class MultitaskParams(BaseParams):
     num_seg_classes: int = len(SEMSEG_CLASSES)
     class_weights: Tuple[float, ...] = (1.0, 2.0, 1.0, 2.0, 1.0)
     ignore_index: int = 255
+    # Uniform label smoothing for the seg head's CE (0 = off).
+    label_smoothing: float = 0.0
     # depth head
     max_depth: float = 80.0
     min_depth: float = 0.5

@@ -31,6 +31,12 @@ def semseg_loss(
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    eps = float(getattr(params, "label_smoothing", 0.0))
+    if eps > 0.0:
+        # Uniform label smoothing: CE against (1-eps)·one_hot + eps/C.
+        # The smoothed term is the mean of -log p over classes; eps=0
+        # compiles to the exact unsmoothed program (branch is static).
+        nll = (1.0 - eps) * nll + eps * (-jnp.mean(logp, axis=-1))
 
     w = jnp.asarray(params.class_weights, jnp.float32)[safe]
     nll = nll * w * valid.astype(jnp.float32)

@@ -34,6 +34,9 @@ class SemsegParams(BaseParams):
     decoder_features: int = 64
     class_weights: Tuple[float, ...] = (1.0, 2.0, 1.0, 2.0, 1.0)
     ignore_index: int = 255
+    # Uniform label smoothing for the CE loss (0 = off): regularizes
+    # over-confident logits on the dominant road/undrivable classes.
+    label_smoothing: float = 0.0
     # Run the head conv H-sharded over the mesh "model" axis (halo-exchange
     # spatial sharding, parallel/spatial.py) — execution layout only.
     spatial_shard: bool = False

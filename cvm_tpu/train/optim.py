@@ -11,8 +11,9 @@ def make_schedule(
     total_steps: int,
     warmup_steps: int,
 ) -> optax.Schedule:
-    """LR schedule by name: warmup_cosine (default), constant, or step
-    (x0.1 at 60%/85% of total_steps — the classic detector recipe). All
+    """LR schedule by name: warmup_cosine (default), constant, step
+    (x0.1 at 60%/85% of total_steps — the classic detector recipe), or poly
+    ((1 - t)^0.9 decay to 0 — the classic semseg/DeepLab recipe). All
     variants keep the linear warmup."""
     warmup_steps = max(warmup_steps, 1)
     if kind == "warmup_cosine":
@@ -35,8 +36,14 @@ def make_schedule(
                             max(b2 - warmup_steps, 2): 0.1}
         )
         return optax.join_schedules([warm, body], [warmup_steps])
+    if kind == "poly":
+        body = optax.polynomial_schedule(
+            init_value=learning_rate, end_value=0.0, power=0.9,
+            transition_steps=max(total_steps - warmup_steps, 1),
+        )
+        return optax.join_schedules([warm, body], [warmup_steps])
     raise ValueError(f"unknown lr_schedule {kind!r} "
-                     "(warmup_cosine|constant|step)")
+                     "(warmup_cosine|constant|step|poly)")
 
 
 def make_optimizer(

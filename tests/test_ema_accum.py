@@ -156,6 +156,12 @@ def test_lr_schedules():
     assert abs(float(cos(warm)) - lr) < 1e-6
     assert float(cos(total)) <= lr * 0.011
 
+    poly = make_schedule("poly", lr, total, warm)
+    assert abs(float(poly(warm)) - lr) < 1e-6
+    # (1 - t)^0.9: monotone decay to ~0 at total_steps.
+    assert float(poly(500)) < lr and float(poly(900)) < float(poly(500))
+    assert float(poly(total)) < lr * 1e-3
+
     import pytest as _pytest
     with _pytest.raises(ValueError):
         make_schedule("nope", lr, total, warm)

@@ -104,3 +104,35 @@ def test_dmds_forward():
     assert out["motion_fwd"]["residual_translation"].shape == (1, 64, 128, 3)
     # zero-init ego-motion head → identity motion at init
     assert float(jnp.abs(out["motion_fwd"]["rotation"]).max()) < 1e-6
+
+
+def test_semseg_label_smoothing():
+    """eps=0 reproduces the exact unsmoothed loss; eps>0 raises the loss of
+    a confident-correct prediction (regularization) and matches the closed
+    form CE against (1-eps)*one_hot + eps/C."""
+    import numpy as np
+
+    from cvm_tpu.models.semseg.loss import semseg_loss
+    from cvm_tpu.models.semseg.params import SemsegParams
+
+    rng = np.random.default_rng(0)
+    C = 5
+    logits = jnp.asarray(rng.normal(size=(2, 8, 8, C)), jnp.float32) * 3.0
+    labels = jnp.asarray(rng.integers(0, C, (2, 8, 8)), jnp.int32)
+    p0 = SemsegParams(num_classes=C, class_weights=(1.0,) * C,
+                      label_smoothing=0.0)
+    p1 = SemsegParams(num_classes=C, class_weights=(1.0,) * C,
+                      label_smoothing=0.1)
+    l0, _ = semseg_loss({"logits": logits}, {"classes": labels}, p0)
+    l1, _ = semseg_loss({"logits": logits}, {"classes": labels}, p1)
+
+    # Closed-form oracle: (1-eps)·NLL(true class) + eps·mean_c(-log p_c).
+    import jax as _jax
+
+    logp = np.asarray(_jax.nn.log_softmax(logits, axis=-1))
+    expect = (0.9 * -np.take_along_axis(logp, np.asarray(labels)[..., None], -1)[..., 0]
+              + 0.1 * (-logp.mean(-1))).mean()
+    np.testing.assert_allclose(float(l1), expect, rtol=1e-6)
+    # eps=0 must stay the exact unsmoothed CE (static branch, not traced).
+    logp_true = -np.take_along_axis(logp, np.asarray(labels)[..., None], -1)[..., 0]
+    np.testing.assert_allclose(float(l0), logp_true.mean(), rtol=1e-6)
