@@ -20,7 +20,13 @@ import numpy as np
 def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
                  batch_size: int = 1, pad_hw=None, quantize: str = "none",
                  input_format: str = "rgb", fold_bn: bool = False,
-                 tta: str = "none", average_last: int = 0) -> dict:
+                 tta: str = "none", average_last: int = 0,
+                 batch_sizes=None) -> dict:
+    """``batch_sizes`` (e.g. [1, 4, 8]) exports one program per size into the
+    same artifact (``model_b{n}.stablehlo``); the largest doubles as the
+    primary ``model.stablehlo``. The serving runtime then dispatches each
+    request batch on the smallest fitting bucket instead of padding
+    everything to one static size (ServingModel in infer/runtime.py)."""
     from cvm_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
@@ -87,32 +93,46 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
     # artifact must ship the pipeline's variables, not the checkpoint's.
     variables = jax.device_get(pipe._variables)
 
-    hw = jnp.ones((batch_size, 2), jnp.int32)
-    if input_format == "yuv420":
-        # The benchmarked production wire format (planar 4:2:0 — half the
-        # host->device bytes of RGB) is also the exported one (VERDICT r1
-        # weak #7): chroma upsample + color conversion live in the artifact.
-        y = jnp.zeros((batch_size, *pad_hw), jnp.uint8)
-        u = jnp.zeros((batch_size, pad_hw[0] // 2, pad_hw[1] // 2), jnp.uint8)
-        if spec_name == "dmds":
-            args = (variables, y, u, u, y, u, u, hw)
-        else:
-            args = (variables, y, u, u, hw)
-    else:
-        img = jnp.zeros((batch_size, *pad_hw, 3), jnp.uint8)
-        args = (variables, img, hw)
-        if spec_name == "dmds":
-            args = (variables, img, hw, img)
-    if getattr(cfg, "with_3d", False):
-        # 3D configs take per-image [fx, fy, cx, cy] (original-image px).
-        args = args + (jnp.ones((batch_size, 4), jnp.float32),)
+    sizes = sorted(set(int(b) for b in batch_sizes)) if batch_sizes else [batch_size]
+    if any(b < 1 for b in sizes):
+        raise ValueError(f"batch sizes must be >= 1, got {sizes}")
+    batch_size = sizes[-1]  # primary program = largest bucket
 
-    exported = jax_export.export(pipe._predict)(*args)
-    blob = exported.serialize()
+    def _trace_args(bs: int):
+        hw = jnp.ones((bs, 2), jnp.int32)
+        if input_format == "yuv420":
+            # The benchmarked production wire format (planar 4:2:0 — half the
+            # host->device bytes of RGB) is also the exported one (VERDICT r1
+            # weak #7): chroma upsample + color conversion live in the artifact.
+            y = jnp.zeros((bs, *pad_hw), jnp.uint8)
+            u = jnp.zeros((bs, pad_hw[0] // 2, pad_hw[1] // 2), jnp.uint8)
+            if spec_name == "dmds":
+                args = (variables, y, u, u, y, u, u, hw)
+            else:
+                args = (variables, y, u, u, hw)
+        else:
+            img = jnp.zeros((bs, *pad_hw, 3), jnp.uint8)
+            args = (variables, img, hw)
+            if spec_name == "dmds":
+                args = (variables, img, hw, img)
+        if getattr(cfg, "with_3d", False):
+            # 3D configs take per-image [fx, fy, cx, cy] (original-image px).
+            args = args + (jnp.ones((bs, 4), jnp.float32),)
+        return args
+
+    exports = {bs: jax_export.export(pipe._predict)(*_trace_args(bs))
+               for bs in sizes}
+    blobs = {bs: e.serialize() for bs, e in exports.items()}
+    exported = exports[batch_size]
+    blob = blobs[batch_size]
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
         f.write(blob)
+    if len(sizes) > 1:
+        for bs, b in blobs.items():
+            with open(os.path.join(out_dir, f"model_b{bs}.stablehlo"), "wb") as f:
+                f.write(b)
     with open(os.path.join(out_dir, "params.json"), "w") as f:
         f.write(cfg.to_json())
     # Weights as a flat npz for runtime loading without orbax.
@@ -147,6 +167,7 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
         "model": spec_name,
         "input_format": input_format,
         "batch_size": batch_size,
+        "batch_sizes": sizes,
         "pad_hw": list(pad_hw),
         "quantize": quantize,
         "fold_bn": fold_bn,
@@ -191,6 +212,13 @@ def main(argv=None):
     parser.add_argument("--checkpoint_dir", required=True)
     parser.add_argument("--out", required=True)
     parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument(
+        "--batch_sizes", default=None, metavar="B1,B2,...",
+        help="export one program per batch size into the same artifact "
+             "(e.g. '1,4,8'); the serving runtime dispatches each request "
+             "on the smallest fitting bucket — less padding waste at low "
+             "QPS. Overrides --batch_size (primary program = largest).",
+    )
     parser.add_argument("--quantize", choices=["none", "int8", "w8a8"], default="none",
                         help="int8 = weight-only (4x smaller artifact); w8a8 = "
                              "full-integer compute baked into the program "
@@ -207,10 +235,14 @@ def main(argv=None):
                         help="ship the MEAN of the last N retained "
                              "checkpoints (SWA) instead of the newest one")
     args = parser.parse_args(argv)
+    sizes = None
+    if args.batch_sizes:
+        sizes = [int(s) for s in args.batch_sizes.split(",") if s]
     stats = export_model(args.model, args.checkpoint_dir, args.out,
                          args.batch_size, quantize=args.quantize,
                          input_format=args.input_format, fold_bn=args.fold_bn,
-                         tta=args.tta, average_last=args.average_last)
+                         tta=args.tta, average_last=args.average_last,
+                         batch_sizes=sizes)
     print(json.dumps(stats))
     return 0
 

@@ -39,9 +39,17 @@ def _dequantize(tree: Dict[str, Any]):
 
 
 class ServingModel:
-    """Loads {model.stablehlo, weights.npz} and exposes __call__."""
+    """Loads {model.stablehlo, weights.npz} and exposes __call__.
+
+    Multi-batch artifacts (``cli.export --batch_sizes 1,4,8``) additionally
+    ship ``model_b{n}.stablehlo`` per size; __call__ then accepts ANY batch
+    size — each request runs on the smallest fitting bucket (short batches
+    pad by repeating the last row, the framework-wide rule in utils/batch),
+    and batches beyond the largest bucket are chunked through it. Single-
+    program artifacts keep the exact static-batch contract unchanged."""
 
     def __init__(self, artifact_dir: str):
+        import glob
         import json
 
         from jax import export as jax_export
@@ -56,6 +64,17 @@ class ServingModel:
                 self.meta = json.load(f)
         self.input_format: str = self.meta.get("input_format", "rgb")
 
+        self._buckets: Dict[int, Any] = {}
+        for path in glob.glob(os.path.join(artifact_dir, "model_b*.stablehlo")):
+            n = int(os.path.basename(path)[len("model_b"):-len(".stablehlo")])
+            primary = self.meta.get("batch_size")
+            if n == primary:
+                self._buckets[n] = self._exported  # same program, don't reload
+                continue
+            with open(path, "rb") as f:
+                self._buckets[n] = jax_export.deserialize(bytearray(f.read()))
+        self.bucket_sizes = sorted(self._buckets)
+
         with np.load(os.path.join(artifact_dir, "weights.npz")) as z:
             flat = {k: z[k] for k in z.files}
         tree = _dequantize(_unflatten(flat))
@@ -64,9 +83,34 @@ class ServingModel:
             "batch_stats": tree.get("batch_stats", {}),
         }
 
+    def _call_bucketed(self, B: int, data_args):
+        import jax
+
+        from cvm_tpu.utils.batch import pad_rows
+
+        fit = [n for n in self.bucket_sizes if n >= B]
+        if fit:
+            n = fit[0]
+            padded = pad_rows(data_args, n)
+            out = self._buckets[n].call(self.variables, *padded)
+            return jax.tree.map(lambda x: x[:B], out)
+        # B exceeds the largest bucket: chunk through it.
+        n = self.bucket_sizes[-1]
+        chunks = []
+        for i in range(0, B, n):
+            part = [a[i:i + n] for a in data_args]
+            chunks.append(self._call_bucketed(min(n, B - i), part))
+        return jax.tree.map(lambda *xs: np.concatenate(
+            [np.asarray(x) for x in xs], axis=0), *chunks)
+
     def __call__(self, *data_args):
         """data_args match the export signature after variables (e.g. images,
         image_hw — or y, u, v, image_hw for a yuv420 export)."""
+        if self.bucket_sizes:
+            B = int(np.asarray(data_args[0]).shape[0])
+            if B not in self._buckets:
+                return self._call_bucketed(B, [np.asarray(a) for a in data_args])
+            return self._buckets[B].call(self.variables, *data_args)
         return self._exported.call(self.variables, *data_args)
 
     def selftest(self, rtol: float = 0.05, atol: float = 1e-3):

@@ -70,11 +70,17 @@ class DynamicBatcher:
         batch_size: int,
         max_wait_ms: float = 5.0,
         max_queue: int = 256,
+        bucket_sizes: Optional[Sequence[int]] = None,
     ):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.model_fn = model_fn
         self.batch_size = batch_size
+        # Multi-batch artifacts: pad a short collection window to the
+        # smallest bucket that fits instead of the full static batch —
+        # 2 requests on a {1,4,8} artifact dispatch at 4, not 8.
+        self.bucket_sizes = sorted(b for b in (bucket_sizes or [])
+                                   if b <= batch_size)
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
@@ -151,12 +157,17 @@ class DynamicBatcher:
             try:
                 from cvm_tpu.utils.batch import pad_rows
 
+                target = self.batch_size
+                for b in self.bucket_sizes:
+                    if b >= n:
+                        target = b
+                        break
                 data = pad_rows(
                     [np.concatenate([r.args[k] for r in batch], axis=0)
                      for k in range(len(batch[0].args))],
-                    self.batch_size,
+                    target,
                 )
-                pad = self.batch_size - n
+                pad = target - n
                 t0 = time.perf_counter()
                 out = self.model_fn(*data)
                 out = {k: np.asarray(v) for k, v in out.items()}
@@ -271,8 +282,11 @@ class ModelServer:
         self.decode_threads = int(decode_threads)
         self.t_start = time.time()
         self.warm = threading.Event()
-        self.batcher = DynamicBatcher(model, self.batch_size,
-                                      max_wait_ms=max_wait_ms)
+        self.batcher = DynamicBatcher(
+            model, self.batch_size, max_wait_ms=max_wait_ms,
+            bucket_sizes=(self.meta.get("batch_sizes")
+                          or getattr(model, "bucket_sizes", None)),
+        )
         self._httpd: Optional[ThreadingHTTPServer] = None
 
     # one request's (1, ...) args from raw image bytes

@@ -280,3 +280,55 @@ def test_cli_serve_artifact_over_records(tmp_path, rng, capsys):
     recs = [_json.loads(l) for l in lines]
     assert len(recs) == 4
     assert all("class_histogram" in r for r in recs)
+
+
+def test_multi_batch_bucket_artifact(tmp_path, rng):
+    """--batch_sizes exports one program per bucket; the runtime serves ANY
+    request batch: exact-bucket hits run direct, short batches pad to the
+    smallest fitting bucket, oversize batches chunk through the largest —
+    and every row matches the per-row single-bucket result."""
+    import itertools
+
+    from cvm_tpu.cli.export import export_model
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.infer.runtime import ServingModel
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16, class_weights=(1.0, 1.0, 1.0),
+                        batch_size=8, warmup_steps=1, total_steps=10)
+    ckdir = str(tmp_path / "ck")
+    tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=1, log_every=1)
+    tr.init_state()
+    pool = [synthetic_batch(np.random.default_rng(0), 8, (48, 48), num_classes=3)]
+    tr.fit(itertools.cycle(pool), 1)
+    tr.ckpt.wait()
+
+    out = str(tmp_path / "art_buckets")
+    stats = export_model("semseg", ckdir, out, batch_sizes=[1, 2])
+    assert stats["stablehlo_bytes"] > 1000
+    import os as _os
+
+    assert _os.path.exists(f"{out}/model_b1.stablehlo")
+    assert _os.path.exists(f"{out}/model_b2.stablehlo")
+
+    m = ServingModel(out)
+    assert m.bucket_sizes == [1, 2]
+    assert m.meta["batch_sizes"] == [1, 2]
+    assert m.selftest() == []  # fingerprint ran on the primary (b2) program
+
+    g = np.random.default_rng(3)
+    img = g.integers(0, 255, (5, 48, 48, 3), dtype=np.uint8)
+    hw = np.asarray([[40, 44], [48, 48], [33, 47], [40, 40], [44, 36]], np.int32)
+
+    # Per-row oracle through the exact b1 bucket.
+    rows = [np.asarray(m(img[i:i + 1], hw[i:i + 1])["class_map"])[0]
+            for i in range(5)]
+
+    for B in (1, 2, 3, 5):  # exact bucket, primary, pad-to-2+chunk, chunk x3
+        out_b = np.asarray(m(img[:B], hw[:B])["class_map"])
+        assert out_b.shape == (B, 32, 32)
+        for i in range(B):
+            np.testing.assert_array_equal(out_b[i], rows[i])

@@ -331,3 +331,24 @@ def test_server_rejects_dmds_artifacts():
     with pytest.raises(ValueError, match="dmds"):
         ModelServer(lambda *a: {}, batch_size=1, pad_hw=(48, 48),
                     meta={"model": "dmds"})
+
+
+def test_batcher_dispatches_on_smallest_fitting_bucket():
+    """With bucket_sizes, a 1-request window pads to 2 (not the full 8):
+    less padding waste per dispatch on multi-batch artifacts."""
+    seen = []
+
+    def model(x):
+        seen.append(x.shape[0])
+        return {"val": x + 1.0}
+
+    b = DynamicBatcher(model, batch_size=8, max_wait_ms=1.0,
+                       bucket_sizes=[2, 4, 8])
+    try:
+        out = b.submit((np.zeros((1, 2), np.float32),))
+        np.testing.assert_allclose(out["val"], [[1.0, 1.0]])
+        assert seen == [2], f"expected bucket-2 dispatch, got {seen}"
+        st = b.stats()
+        assert st["batch_fill"] == 0.5  # 1 real row of 2 dispatched
+    finally:
+        b.close()
