@@ -162,6 +162,19 @@ def _failure_payload(reason: str) -> dict:
             payload["measure_steps_ok"] = oks
     except OSError:
         pass
+    try:
+        # The flagship 512x512 train-to-eval result (accuracy tier — valid
+        # at any relay speed) rides along by value, not just as an .ok
+        # marker: a timing refusal should still show the headline-resolution
+        # mAP the chip produced.
+        runs = os.environ.get("CVM_BENCH_RUNS_DIR", os.path.join(REPO, "runs"))
+        with open(os.path.join(runs, "flagship_512", "best", "best.json")) as f:
+            best = json.load(f)
+        if isinstance(best, dict) and "value" in best:
+            payload["flagship_512_best"] = {
+                k: best[k] for k in ("metric", "value", "step") if k in best}
+    except (OSError, ValueError):
+        pass
     cached = _load_last_good()
     if cached and isinstance(cached.get("result"), dict):
         # An honest refusal must still carry signal: attach the last healthy

@@ -47,6 +47,17 @@ def main(argv=None):
     parser.add_argument("--average_last", type=int, default=0, metavar="N",
                         help="evaluate the MEAN of the last N retained "
                              "checkpoints (SWA) instead of the newest one")
+    parser.add_argument("--quantize", default="none",
+                        choices=("none", "int8", "w8a8", "w8a8_static"),
+                        help="score the DEPLOYED numerics: int8 = weight-only "
+                             "(what --quantize int8 artifacts serve), w8a8 = "
+                             "dynamic full-integer convs, w8a8_static = "
+                             "calibrated static scales (identical calibration "
+                             "to cli.export, so this measures the artifact)")
+    parser.add_argument("--fold_bn", action="store_true",
+                        help="evaluate with conv+BN folded as at export time")
+    parser.add_argument("--calib_batches", type=int, default=3,
+                        help="synthetic calibration batches for w8a8_static")
     args, overrides = parser.parse_known_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
@@ -135,19 +146,77 @@ def main(argv=None):
     eval_params = trainer.state.ema_params if use_ema else trainer.state.params
     variables = {"params": eval_params,
                  "batch_stats": trainer.state.batch_stats}
+
+    # Deployed-numerics variants: the reference's accuracy story is scored
+    # on the artifact that ships (full-int8 TFLite, SURVEY.md §3.5), not the
+    # training graph — these flags reproduce each artifact's compute path
+    # inside the full metric pipeline.
+    w8a8 = False
+    if args.quantize in ("w8a8", "w8a8_static") and args.model == "dmds":
+        parser.error("w8a8 evaluation is not supported for two-frame dmds "
+                     "(matches cli.export)")
+    if args.quantize == "int8":
+        from cvm_tpu.infer.quantize import (dequantize_params,
+                                            quantization_error,
+                                            quantize_params)
+
+        qparams, _ = quantize_params(jax.device_get(variables["params"]))
+        err = quantization_error(jax.device_get(variables["params"]), qparams)
+        print(f"[cvm_tpu] weight-only int8: relative weight error {err:.3e}",
+              file=sys.stderr)
+        variables = {**variables, "params": dequantize_params(qparams)}
+    elif args.quantize == "w8a8":
+        w8a8 = True
+    elif args.quantize == "w8a8_static":
+        # Identical calibration recipe to cli.export (synthetic scenes
+        # through the serving preprocess), so the measured accuracy is the
+        # shipped artifact's, scales included.
+        import jax.numpy as jnp
+        import numpy as np
+
+        from cvm_tpu.data.synthetic import synthetic_batch
+        from cvm_tpu.infer.quantize import calibrate_activation_scales
+        from cvm_tpu.pipeline.preprocess import preprocess_batch
+
+        model = spec.create_model(cfg)
+        rng = np.random.default_rng(0)
+        nc = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 3))
+        procs = []
+        for _ in range(max(args.calib_batches, 1)):
+            b = synthetic_batch(rng, max(cfg.batch_size, 2), pad_hw,
+                                num_classes=min(nc, 10))
+            proc, _ = preprocess_batch(
+                None, {k: jnp.asarray(v) for k, v in b.items()
+                       if k in ("image", "image_hw")},
+                cfg.input_hw, train=False)
+            procs.append(proc)
+        host_vars = jax.device_get(variables)
+        w8a8 = calibrate_activation_scales(
+            lambda x: model.apply(host_vars, x, train=False), procs)
+        print(f"[cvm_tpu] w8a8_static: calibrated {len(w8a8)} convs "
+              f"on {len(procs)} synthetic batches", file=sys.stderr)
+
     m = evaluate_model(spec, cfg, variables, val, max_batches=args.batches,
                        mesh=trainer.mesh, per_class=args.per_class,
                        size_buckets=args.size_ap, confusion=args.confusion,
-                       pr_curves=args.pr_out is not None, tta=args.tta)
+                       pr_curves=args.pr_out is not None, tta=args.tta,
+                       w8a8=w8a8, fold_bn=args.fold_bn)
     if args.pr_out:
         with open(args.pr_out, "w") as f:
             json.dump(m.pop("pr_curves"), f)
         print(f"[cvm_tpu] PR curves -> {args.pr_out}", file=sys.stderr)
-    print(f"[cvm_tpu] eval model={args.model} step={step} split={args.split}: "
+    variant = ""
+    if args.quantize != "none" or args.fold_bn:
+        variant = (f" quantize={args.quantize}"
+                   f"{' fold_bn' if args.fold_bn else ''}")
+    print(f"[cvm_tpu] eval model={args.model} step={step} "
+          f"split={args.split}{variant}: "
           f"{json.dumps(m, sort_keys=True)}", flush=True)
     if args.json_out:
         with open(args.json_out, "w") as f:
-            json.dump({"model": args.model, "step": step, **m}, f)
+            json.dump({"model": args.model, "step": step,
+                       "quantize": args.quantize, "fold_bn": args.fold_bn,
+                       **m}, f)
     return 0
 
 

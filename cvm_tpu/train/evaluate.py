@@ -314,12 +314,19 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
                    size_buckets: bool = False,
                    confusion: bool = False,
                    pr_curves: bool = False,
-                   tta: str = "none") -> Dict[str, float]:
+                   tta: str = "none",
+                   w8a8=False,
+                   fold_bn: bool = False) -> Dict[str, float]:
     """Run the e2e pipeline over a loader and compute task metrics.
 
     ``input_format``: "rgb", "yuv420", or "auto" (detect from the first
     batch's keys) — the production yuv420 wire format evaluates through the
     same jitted program that serves it (VERDICT r1 weak #6).
+
+    ``w8a8`` / ``fold_bn`` mirror the InferencePipeline knobs so the
+    DEPLOYED numerics (quantized convs, folded BN) can be scored by the
+    full metric pipeline — the reference workflow of "evaluate the TFLite
+    artifact, not the training graph" (SURVEY.md §3.5).
     """
     from cvm_tpu.infer.pipeline import InferencePipeline
 
@@ -374,7 +381,8 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
             if fmt == "auto":
                 fmt = "yuv420" if "y" in batch and "image" not in batch else "rgb"
             pipe = InferencePipeline(spec, cfg, variables, mesh=mesh,
-                                     input_format=fmt, tta=tta)
+                                     input_format=fmt, tta=tta,
+                                     w8a8=w8a8, fold_bn=fold_bn)
         out = pipe(batch)
         out = {k: np.asarray(v) for k, v in out.items()}
         B = batch["image_hw"].shape[0]

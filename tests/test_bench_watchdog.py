@@ -117,6 +117,27 @@ def test_failure_line_lists_captured_queue_steps(tmp_path):
     assert out["measure_steps_ok"] == ["bench_run1", "flagship_512"]
 
 
+def test_failure_line_carries_flagship_accuracy(tmp_path):
+    """The flagship train-to-eval result rides along BY VALUE: a timing
+    refusal still shows the headline-resolution mAP the chip produced."""
+    import json as _json
+
+    runs = tmp_path / "runs"
+    (runs / "flagship_512" / "best").mkdir(parents=True)
+    (runs / "flagship_512" / "best" / "best.json").write_text(_json.dumps(
+        {"metric": "mAP", "mode": "max", "value": 0.9049, "step": 5000}))
+    proc = _run_bench({
+        "CVM_BENCH_FAKE_PROBE_MS": "100",
+        "CVM_BENCH_PROBE_WAIT_S": "1",
+        "CVM_BENCH_DEADLINE_S": "120",
+        "CVM_BENCH_LAST_GOOD_PATH": str(tmp_path / "absent.json"),
+        "CVM_BENCH_RUNS_DIR": str(runs),
+    })
+    out = _parse_single_json_line(proc.stdout)
+    assert out["flagship_512_best"] == {"metric": "mAP", "value": 0.9049,
+                                        "step": 5000}
+
+
 def test_measure_lock_wait_then_proceed_with_flag(tmp_path):
     # Mutual exclusion with the measurement queue: a live runs/MEASURING
     # lock makes bench wait its budget, then proceed with the contention
