@@ -28,6 +28,7 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 
 OUT="${MEASURE_OUT:-runs/measure}"
+NAME="${FLAGSHIP_NAME:-flagship_512}"  # controls the .ok/.log names
 WORKDIR="${FLAGSHIP_WORKDIR:-runs/flagship_512}"
 PIDFILE="${FLAGSHIP_PERSIST_FILE:-runs/FLAGSHIP_PERSIST}"
 RUNFILE="${FLAGSHIP_RUN_FILE:-runs/FLAGSHIP_RUNNING}"
@@ -73,13 +74,13 @@ run_train() {
 }
 
 attempt=0
-while [[ ! -e "$OUT/flagship_512.ok" ]]; do
+while [[ ! -e "$OUT/$NAME.ok" ]]; do
   while lock_live "$MEASURING_PATH" || lock_live "$BENCH_MARK_PATH"; do
     sleep "${FLAGSHIP_LOCK_TICK_S:-15}"
   done
   attempt=$((attempt + 1))
   echo "$(date -Is) flagship attempt $attempt (resumes from latest checkpoint)"
-  run_train >> "$OUT/flagship_512.log" 2>&1 &
+  run_train >> "$OUT/$NAME.log" 2>&1 &
   pid=$!
   echo "$pid" > "$RUNFILE"
   wait "$pid"
@@ -87,7 +88,7 @@ while [[ ! -e "$OUT/flagship_512.ok" ]]; do
   rm -f "$RUNFILE"
   if [[ $rc -eq 0 && -e "$WORKDIR/best/best.json" ]]; then
     echo "$(date -Is) flagship run COMPLETE (attempt $attempt)"
-    touch "$OUT/flagship_512.ok"
+    touch "$OUT/$NAME.ok"
     exit 0
   fi
   echo "$(date -Is) flagship exited rc=$rc (best: $(ls "$WORKDIR/best" 2>/dev/null | tr '\n' ' ')) — relaunching after backoff"
