@@ -13,9 +13,136 @@ import json
 import sys
 
 
+def _build_val(args, cfg, pad_hw, yuv420=False):
+    """Held-out eval source: fixed-seed synthetic scenes or .cvrec shards."""
+    if args.data == "synthetic":
+        import numpy as np
+
+        from cvm_tpu.data.synthetic import synthetic_batch
+
+        nc = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 3))
+        rng = np.random.default_rng(999)
+        return [
+            synthetic_batch(rng, cfg.batch_size, pad_hw, num_classes=min(nc, 10),
+                            two_frame=(args.model == "dmds"),
+                            with_3d=getattr(cfg, "with_3d", False),
+                            yuv420=yuv420)
+            for _ in range(args.batches)
+        ]
+    from cvm_tpu.data.loader import RecordLoader
+    from cvm_tpu.data.records import RecordDataset
+
+    ds = RecordDataset([p for p in args.data.split(",") if p])
+    train_ids, val_ids = ds.split_ids()
+    ids = {"val": val_ids, "train": train_ids, "all": None}[args.split]
+    return RecordLoader(ds, cfg.batch_size, pad_hw, ids=ids, shuffle=False,
+                        loop=False, max_objects=getattr(cfg, "max_objects", 128),
+                        output_format="yuv420" if yuv420 else "rgb")
+
+
+def _emit(args, m, step):
+    variant = ""
+    if args.artifact:
+        variant = f" artifact={args.artifact}"
+    elif args.quantize != "none" or args.fold_bn:
+        variant = (f" quantize={args.quantize}"
+                   f"{' fold_bn' if args.fold_bn else ''}")
+    print(f"[cvm_tpu] eval model={args.model} step={step} "
+          f"split={args.split}{variant}: "
+          f"{json.dumps(m, sort_keys=True)}", flush=True)
+    if args.json_out:
+        payload = {"model": args.model, "step": step,
+                   "quantize": args.quantize, "fold_bn": args.fold_bn, **m}
+        if args.artifact:
+            payload["artifact"] = args.artifact
+        with open(args.json_out, "w") as f:
+            json.dump(payload, f)
+
+
+def _evaluate_artifact(parser, args, overrides):
+    """Score a serialized cli.export artifact through the metric pipeline.
+
+    The StableHLO program and shipped weights run EXACTLY as a deployment
+    would (ServingModel load path: deserialize + unflatten/dequantize), so
+    this is the final word on artifact accuracy — the reference's "evaluate
+    the converted TFLite, not the Keras graph" step (SURVEY.md §3.5).
+    """
+    import numpy as np
+
+    for flag, name in ((args.tta != "none", "--tta"),
+                       (args.quantize != "none", "--quantize"),
+                       (args.fold_bn, "--fold_bn"),
+                       (bool(args.average_last), "--average_last"),
+                       (bool(args.checkpoint_dir), "--checkpoint_dir")):
+        if flag:
+            parser.error(f"{name} does not apply to --artifact evaluation "
+                         "(those choices are baked into the export)")
+    if overrides:
+        parser.error(f"config overrides {overrides} don't apply to "
+                     "--artifact evaluation (the artifact is sealed)")
+
+    from cvm_tpu.infer.runtime import ServingModel
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.evaluate import evaluate_model
+    from cvm_tpu.utils.batch import pad_rows
+
+    sm = ServingModel(args.artifact)
+    meta = sm.meta
+    name = meta.get("model")
+    if args.model and args.model != name:
+        parser.error(f"--model {args.model} but the artifact is a {name!r} "
+                     "export")
+    if name == "dmds":
+        parser.error("two-frame dmds artifact evaluation is not supported")
+    if "params_cfg" not in meta:
+        parser.error("artifact predates params_cfg metadata — re-export "
+                     "with the current cli.export")
+    args.model = name
+    spec = get_model(name)
+    cfg = spec.params_cls.from_dict(meta["params_cfg"])
+    art_bs = int(meta.get("batch_size", 1))
+    cfg = cfg.replace(batch_size=art_bs)
+    # Eval batches must live on the artifact's static canvas.
+    pad_hw = tuple(meta["pad_hw"])
+    if args.pad_hw:
+        from cvm_tpu.utils.config import parse_hw
+
+        if tuple(parse_hw(args.pad_hw, "--pad_hw")) != pad_hw:
+            parser.error(f"--pad_hw must match the artifact's static canvas "
+                         f"{pad_hw[0]},{pad_hw[1]}")
+
+    yuv = sm.input_format == "yuv420"
+
+    def predict_fn(batch):
+        B = int(batch["image_hw"].shape[0])
+        if yuv:
+            data = [np.ascontiguousarray(batch[k], dtype=np.uint8)
+                    for k in ("y", "u", "v")]
+        else:
+            data = [np.ascontiguousarray(batch["image"], dtype=np.uint8)]
+        data.append(np.asarray(batch["image_hw"], np.int32))
+        out = sm(*data) if sm.bucket_sizes else sm(*pad_rows(data, art_bs))
+        return {k: np.asarray(v)[:B] for k, v in out.items()}
+
+    val = _build_val(args, cfg, pad_hw, yuv420=yuv)
+    m = evaluate_model(spec, cfg, None, val, max_batches=args.batches,
+                       per_class=args.per_class, size_buckets=args.size_ap,
+                       confusion=args.confusion,
+                       pr_curves=args.pr_out is not None,
+                       predict_fn=predict_fn)
+    if args.pr_out:
+        with open(args.pr_out, "w") as f:
+            json.dump(m.pop("pr_curves"), f)
+        print(f"[cvm_tpu] PR curves -> {args.pr_out}", file=sys.stderr)
+    _emit(args, m, step=-1)
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--model", required=True)
+    parser.add_argument("--model", default=None,
+                        help="model-zoo name (optional with --artifact, "
+                             "which is self-describing)")
     parser.add_argument("--workdir", default="runs/default",
                         help="training workdir containing checkpoints/")
     parser.add_argument("--checkpoint_dir", default=None,
@@ -58,11 +185,22 @@ def main(argv=None):
                         help="evaluate with conv+BN folded as at export time")
     parser.add_argument("--calib_batches", type=int, default=3,
                         help="synthetic calibration batches for w8a8_static")
+    parser.add_argument("--artifact", default=None, metavar="DIR",
+                        help="score a SERIALIZED export (cli.export output "
+                             "dir) instead of a checkpoint: the StableHLO "
+                             "program + shipped weights run as-is through "
+                             "the metric pipeline — the final word on what "
+                             "the deployed artifact scores")
     args, overrides = parser.parse_known_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+
+    if args.artifact:
+        return _evaluate_artifact(parser, args, overrides)
+    if not args.model:
+        parser.error("--model is required (unless evaluating an --artifact)")
 
     from cvm_tpu.models import get_model
     from cvm_tpu.train.checkpoints import load_params_cfg
@@ -116,28 +254,7 @@ def main(argv=None):
         print(f"[cvm_tpu] averaged checkpoints at steps {list(steps)}",
               file=sys.stderr)
 
-    if args.data == "synthetic":
-        import numpy as np
-
-        from cvm_tpu.data.synthetic import synthetic_batch
-
-        nc = getattr(cfg, "num_classes", getattr(cfg, "num_det_classes", 3))
-        rng = np.random.default_rng(999)
-        val = [
-            synthetic_batch(rng, cfg.batch_size, pad_hw, num_classes=min(nc, 10),
-                            two_frame=(args.model == "dmds"),
-                            with_3d=getattr(cfg, "with_3d", False))
-            for _ in range(args.batches)
-        ]
-    else:
-        from cvm_tpu.data.loader import RecordLoader
-        from cvm_tpu.data.records import RecordDataset
-
-        ds = RecordDataset([p for p in args.data.split(",") if p])
-        train_ids, val_ids = ds.split_ids()
-        ids = {"val": val_ids, "train": train_ids, "all": None}[args.split]
-        val = RecordLoader(ds, cfg.batch_size, pad_hw, ids=ids, shuffle=False,
-                           loop=False, max_objects=getattr(cfg, "max_objects", 128))
+    val = _build_val(args, cfg, pad_hw)
 
     import jax
 
@@ -205,18 +322,7 @@ def main(argv=None):
         with open(args.pr_out, "w") as f:
             json.dump(m.pop("pr_curves"), f)
         print(f"[cvm_tpu] PR curves -> {args.pr_out}", file=sys.stderr)
-    variant = ""
-    if args.quantize != "none" or args.fold_bn:
-        variant = (f" quantize={args.quantize}"
-                   f"{' fold_bn' if args.fold_bn else ''}")
-    print(f"[cvm_tpu] eval model={args.model} step={step} "
-          f"split={args.split}{variant}: "
-          f"{json.dumps(m, sort_keys=True)}", flush=True)
-    if args.json_out:
-        with open(args.json_out, "w") as f:
-            json.dump({"model": args.model, "step": step,
-                       "quantize": args.quantize, "fold_bn": args.fold_bn,
-                       **m}, f)
+    _emit(args, m, step)
     return 0
 
 

@@ -177,6 +177,10 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
         # `--quantize w8a8` is the intended artifact (same accuracy, real
         # int8 compute). Recorded so serving can see which program it runs.
         "qat": bool(getattr(cfg, "qat", False)),
+        # Self-describing artifact: the full model config, so consumers
+        # (cli.evaluate --artifact) can rebuild evaluators/GT geometry
+        # without the training workdir.
+        "params_cfg": cfg.to_dict(),
     }
     with open(os.path.join(out_dir, "artifact.json"), "w") as f:
         json.dump(meta, f)

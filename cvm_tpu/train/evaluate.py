@@ -316,7 +316,8 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
                    pr_curves: bool = False,
                    tta: str = "none",
                    w8a8=False,
-                   fold_bn: bool = False) -> Dict[str, float]:
+                   fold_bn: bool = False,
+                   predict_fn=None) -> Dict[str, float]:
     """Run the e2e pipeline over a loader and compute task metrics.
 
     ``input_format``: "rgb", "yuv420", or "auto" (detect from the first
@@ -327,6 +328,10 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
     DEPLOYED numerics (quantized convs, folded BN) can be scored by the
     full metric pipeline — the reference workflow of "evaluate the TFLite
     artifact, not the training graph" (SURVEY.md §3.5).
+
+    ``predict_fn(batch) -> output dict`` replaces the InferencePipeline
+    entirely (cli.evaluate --artifact: score a serialized ServingModel);
+    ``variables`` may then be None.
     """
     from cvm_tpu.infer.pipeline import InferencePipeline
 
@@ -377,12 +382,16 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
         if max_batches is not None and n >= max_batches:
             break
         if pipe is None:
-            fmt = input_format
-            if fmt == "auto":
-                fmt = "yuv420" if "y" in batch and "image" not in batch else "rgb"
-            pipe = InferencePipeline(spec, cfg, variables, mesh=mesh,
-                                     input_format=fmt, tta=tta,
-                                     w8a8=w8a8, fold_bn=fold_bn)
+            if predict_fn is not None:
+                pipe = predict_fn
+            else:
+                fmt = input_format
+                if fmt == "auto":
+                    fmt = ("yuv420" if "y" in batch and "image" not in batch
+                           else "rgb")
+                pipe = InferencePipeline(spec, cfg, variables, mesh=mesh,
+                                         input_format=fmt, tta=tta,
+                                         w8a8=w8a8, fold_bn=fold_bn)
         out = pipe(batch)
         out = {k: np.asarray(v) for k, v in out.items()}
         B = batch["image_hw"].shape[0]

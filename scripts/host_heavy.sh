@@ -17,9 +17,12 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-"$@" &
+# setsid makes the child a process-group leader so STOP/CONT reach the WHOLE
+# tree — stopping only the wrapper script would leave its python children
+# burning the single core straight through a measurement window.
+setsid "$@" &
 pid=$!
-trap 'kill -TERM "$pid" 2>/dev/null' TERM INT
+trap 'kill -TERM -- "-$pid" 2>/dev/null' TERM INT
 
 stopped=0
 while kill -0 "$pid" 2>/dev/null; do
@@ -31,11 +34,11 @@ while kill -0 "$pid" 2>/dev/null; do
     fi
   done
   if [[ "$live" == 1 && "$stopped" == 0 ]]; then
-    kill -STOP "$pid" 2>/dev/null
+    kill -STOP -- "-$pid" 2>/dev/null
     stopped=1
     echo "[host_heavy] paused: measurement lock is live" >&2
   elif [[ "$live" == 0 && "$stopped" == 1 ]]; then
-    kill -CONT "$pid" 2>/dev/null
+    kill -CONT -- "-$pid" 2>/dev/null
     stopped=0
     echo "[host_heavy] resumed" >&2
   fi

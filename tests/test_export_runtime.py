@@ -332,3 +332,62 @@ def test_multi_batch_bucket_artifact(tmp_path, rng):
         assert out_b.shape == (B, 32, 32)
         for i in range(B):
             np.testing.assert_array_equal(out_b[i], rows[i])
+
+
+def test_evaluate_artifact_scores_the_serialized_export(tmp_path, capsys):
+    """cli.evaluate --artifact: the metric pipeline drives the StableHLO
+    program + shipped weights through the ServingModel load path, and the
+    score matches the checkpoint-path evaluation of the same weights."""
+    import itertools
+    import json as _json
+
+    from cvm_tpu.cli.evaluate import main as eval_main
+    from cvm_tpu.cli.export import export_model
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16, class_weights=(1.0, 1.0, 1.0),
+                        batch_size=8, warmup_steps=1, total_steps=10)
+    wd = str(tmp_path)
+    ckdir = str(tmp_path / "checkpoints")
+    tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=3,
+                 log_every=3)
+    tr.init_state()
+    pool = [synthetic_batch(np.random.default_rng(i), 8, (48, 48),
+                            num_classes=3) for i in range(2)]
+    tr.fit(itertools.cycle(pool), 3)
+    tr.ckpt.wait()
+
+    art = str(tmp_path / "art")
+    export_model("semseg", ckdir, art, batch_size=8, pad_hw=(48, 48))
+
+    def run(*argv):
+        rc = eval_main(list(argv))
+        assert rc == 0
+        lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.startswith("[cvm_tpu] eval ")]
+        return _json.loads(lines[-1].split(": ", 1)[1])
+
+    ckpt_m = run("--model", "semseg", "--workdir", wd,
+                 "--batches", "2", "--pad_hw", "48,48")
+    art_m = run("--artifact", art, "--batches", "2")
+    assert art_m["miou"] == pytest.approx(ckpt_m["miou"], abs=0.02)
+
+    # The production wire format scores through the same path: a yuv420
+    # export is evaluated on yuv420-plane batches (chroma subsampling is
+    # lossy, so allow a small drift vs the rgb program).
+    art_yuv = str(tmp_path / "art_yuv")
+    export_model("semseg", ckdir, art_yuv, batch_size=8, pad_hw=(48, 48),
+                 input_format="yuv420")
+    yuv_m = run("--artifact", art_yuv, "--batches", "2")
+    assert yuv_m["miou"] == pytest.approx(art_m["miou"], abs=0.1)
+
+    # Baked-in choices cannot be re-specified against an artifact.
+    with pytest.raises(SystemExit):
+        eval_main(["--artifact", art, "--quantize", "w8a8"])
+    # Artifacts are self-describing; a wrong --model is caught.
+    with pytest.raises(SystemExit):
+        eval_main(["--artifact", art, "--model", "centernet"])
