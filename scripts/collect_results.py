@@ -64,8 +64,27 @@ def main(argv=None):
             time.gmtime(os.path.getmtime(os.path.join(out, name))))
         steps[step] = parsed
 
+    # Accuracy-tier artifacts live OUTSIDE the on-chip queue (they are valid
+    # at any relay speed): deployed-numerics variant tables (runs/acc512*/)
+    # and completed flagship train-to-eval runs (<workdir>/best/best.json).
+    accuracy: Dict[str, Any] = {}
+    import glob as _glob
+
+    for d in sorted(_glob.glob("runs/acc512*")):
+        if not os.path.isdir(d):
+            continue
+        table = {}
+        for j in sorted(_glob.glob(os.path.join(d, "*.json"))):
+            with open(j) as f:
+                table[os.path.basename(j)[:-5]] = json.load(f)
+        if table:
+            accuracy[os.path.basename(d)] = table
+    for best in sorted(_glob.glob("runs/flagship*/best/best.json")):
+        with open(best) as f:
+            accuracy[best] = json.load(f)
+
     result = {"collected_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-              "steps": steps}
+              "steps": steps, "accuracy_tier": accuracy}
     with open(os.path.join(out, "RESULTS.json"), "w") as f:
         json.dump(result, f, indent=2, sort_keys=True)
 
@@ -80,6 +99,12 @@ def main(argv=None):
             lines.append(f"- `{json.dumps(r, sort_keys=True)}`")
         for e in p["eval_lines"]:
             lines.append(f"- {e}")
+        lines.append("")
+    if accuracy:
+        lines.append("## accuracy tier (CPU-valid, relay-independent)")
+        lines.append("")
+        for k, v in accuracy.items():
+            lines.append(f"- `{k}`: `{json.dumps(v, sort_keys=True)}`")
         lines.append("")
     with open(os.path.join(out, "RESULTS.md"), "w") as f:
         f.write("\n".join(lines))
