@@ -168,11 +168,17 @@ def _failure_payload(reason: str) -> dict:
         # marker: a timing refusal should still show the headline-resolution
         # mAP the chip produced.
         runs = os.environ.get("CVM_BENCH_RUNS_DIR", os.path.join(REPO, "runs"))
-        with open(os.path.join(runs, "flagship_512", "best", "best.json")) as f:
-            best = json.load(f)
-        if isinstance(best, dict) and "value" in best:
-            payload["flagship_512_best"] = {
-                k: best[k] for k in ("metric", "value", "step") if k in best}
+        import glob as _glob
+
+        for path in sorted(_glob.glob(
+                os.path.join(runs, "flagship*", "best", "best.json"))):
+            with open(path) as f:
+                best = json.load(f)
+            if isinstance(best, dict) and "value" in best:
+                name = os.path.basename(os.path.dirname(os.path.dirname(path)))
+                payload[f"{name}_best"] = {
+                    k: best[k] for k in ("metric", "value", "step")
+                    if k in best}
     except (OSError, ValueError):
         pass
     cached = _load_last_good()
