@@ -92,6 +92,13 @@ def main(argv=None):
              "resume-idempotent)",
     )
     parser.add_argument(
+        "--max_seconds", type=float, default=0, metavar="S",
+        help="time-budget training: after S seconds, finish the in-flight "
+             "step, checkpoint the current step, and exit 0 (same clean-stop "
+             "path as SIGTERM preemption; re-invoke to continue toward "
+             "--steps)",
+    )
+    parser.add_argument(
         "--coordinator", default=None,
         help="multi-process training: coordinator host:port — launch one "
              "process per host with identical args plus --process_id; "
@@ -182,6 +189,35 @@ def main(argv=None):
                       if args.auto_restart > 0 else None),
         max_restarts=args.auto_restart,
     )
+
+    # Preemption-safe SIGTERM: schedulers preempt TPU jobs with SIGTERM and
+    # a grace window. Finish the in-flight step, checkpoint the current step
+    # (Trainer.fit handles both), and exit 0 — a restarted job resumes from
+    # that exact step instead of the last --checkpoint_every multiple.
+    import signal
+
+    def _on_sigterm(signum, frame):
+        trainer.request_stop()
+        print("[cvm_tpu] SIGTERM: checkpointing current step, then exiting "
+              "cleanly (resume with the same --workdir)",
+              file=sys.stderr, flush=True)
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
+    if args.max_seconds > 0:
+        # Time-budget training (preemptible quota, batch-queue wall clocks):
+        # same clean-stop path as SIGTERM, driven by a daemon timer.
+        import threading
+
+        def _budget():
+            trainer.request_stop()
+            print(f"[cvm_tpu] --max_seconds {args.max_seconds:g} reached: "
+                  "checkpointing current step, then exiting cleanly",
+                  file=sys.stderr, flush=True)
+
+        _timer = threading.Timer(args.max_seconds, _budget)
+        _timer.daemon = True  # never keep a finished run alive
+        _timer.start()
 
     # cfg.batch_size is the GLOBAL batch; each process hosts its own slice
     # (assembled into the global array by parallel.mesh.global_put).
@@ -368,6 +404,8 @@ def main(argv=None):
         while remaining > 0:
             chunk = min(args.eval_every, remaining)
             metrics = trainer.fit(it, chunk)
+            if trainer.stop_requested:
+                break  # preempted: skip the eval, the grace window is short
             m = run_eval()
             remaining -= chunk
             if stopper is not None and stopper.update(m):
@@ -386,6 +424,10 @@ def main(argv=None):
         print(f"[cvm_tpu] input pipeline: {loader.stats()}", flush=True)
     if best is not None:
         best.wait()  # async Orbax write must commit before the process exits
+    if trainer.stop_requested:
+        print(f"[cvm_tpu] preempted at step {int(trainer.state.step)}: "
+              f"checkpoint committed, exiting cleanly", flush=True)
+        return 0
     print(f"[cvm_tpu] done: {metrics}", flush=True)
     return 0
 

@@ -184,6 +184,12 @@ class Trainer:
         # command is idempotent, which the CLIs are.
         self.restart_argv = restart_argv
         self.max_restarts = max_restarts
+        # Preemption-safe stop (TPU pods are preemptible; the reference's
+        # Keras loop dies mid-epoch on SIGTERM and loses progress since the
+        # last ModelCheckpoint). request_stop() — typically from a SIGTERM
+        # handler in cli.train — makes fit() finish the in-flight window,
+        # checkpoint the CURRENT step, and return early.
+        self._stop_requested = False
 
         self._repl = replicated(self.mesh)
         self._batch_sh = batch_sharding(self.mesh)
@@ -371,6 +377,17 @@ class Trainer:
             print(f"[cvm_tpu] auto-restart exec failed: {e}",
                   file=sys.stderr, flush=True)
 
+    def request_stop(self) -> None:
+        """Ask fit() to stop at the next step boundary (signal-handler safe:
+        only sets a flag). fit() drains its in-flight window, checkpoints the
+        current step, and returns; ``stop_requested`` stays True so callers
+        running fit in chunks (cli.train --eval_every) know not to continue."""
+        self._stop_requested = True
+
+    @property
+    def stop_requested(self) -> bool:
+        return self._stop_requested
+
     def fit(self, data_iter: Iterator, num_steps: int) -> Dict[str, float]:
         """Run ``num_steps`` training steps; returns the last metrics.
 
@@ -491,6 +508,15 @@ class Trainer:
                         # lifetime — a run that legitimately recovered N
                         # times keeps its recovery (ADVICE r3).
                         __import__("os").environ.pop("CVM_RESTART_COUNT", None)
+                if self._stop_requested:
+                    # Preemption (SIGTERM): drain the in-flight window so the
+                    # state is real, checkpoint the CURRENT step (not just the
+                    # last checkpoint_every multiple), and return early.
+                    while inflight:
+                        inflight.popleft().block_until_ready()
+                    if self.ckpt is not None and step % self.checkpoint_every:
+                        self.ckpt.save(step, self.state)
+                    break
                 loop_stage[0] = "await_batch"
         finally:
             done.set()
