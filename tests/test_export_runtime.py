@@ -391,3 +391,56 @@ def test_evaluate_artifact_scores_the_serialized_export(tmp_path, capsys):
     # Artifacts are self-describing; a wrong --model is caught.
     with pytest.raises(SystemExit):
         eval_main(["--artifact", art, "--model", "centernet"])
+
+
+@pytest.mark.slow
+def test_evaluate_artifact_special_signatures(tmp_path, capsys):
+    """Artifact evaluation matches cli.export's trace signature for the two
+    non-trivial cases: two-frame dmds (extra image_t1 input + median-scaled
+    depth metrics) and with_3d centernet (appended intrinsics input)."""
+    import itertools
+    import json as _json
+
+    from cvm_tpu.cli.evaluate import main as eval_main
+    from cvm_tpu.cli.export import export_model
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    def train_tiny(name, **kw):
+        spec = get_model(name)
+        p = spec.params_cls(input_hw=(32, 32), backbone="tiny", batch_size=8,
+                            warmup_steps=1, total_steps=10, **kw)
+        ckdir = str(tmp_path / name / "checkpoints")
+        tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=2,
+                     log_every=2)
+        tr.init_state()
+        pool = [synthetic_batch(np.random.default_rng(i), 8, (48, 48),
+                                num_classes=3,
+                                two_frame=(name == "dmds"),
+                                with_3d=bool(kw.get("with_3d")))
+                for i in range(2)]
+        tr.fit(itertools.cycle(pool), 2)
+        tr.ckpt.wait()
+        return ckdir
+
+    def run(*argv):
+        rc = eval_main(list(argv))
+        assert rc == 0
+        lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.startswith("[cvm_tpu] eval ")]
+        return _json.loads(lines[-1].split(": ", 1)[1])
+
+    # Two-frame dmds: image + image_t1 through the serialized program.
+    ck = train_tiny("dmds")
+    art = str(tmp_path / "dmds_art")
+    export_model("dmds", ck, art, batch_size=8, pad_hw=(48, 48))
+    m = run("--artifact", art, "--batches", "1")
+    assert any("delta" in k for k in m), m
+
+    # with_3d centernet: the appended per-image intrinsics input.
+    ck = train_tiny("centernet", num_classes=3, with_3d=True)
+    art = str(tmp_path / "cn3d_art")
+    export_model("centernet", ck, art, batch_size=8, pad_hw=(48, 48))
+    m = run("--artifact", art, "--batches", "1")
+    assert "mAP" in m, m
