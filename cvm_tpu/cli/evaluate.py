@@ -92,8 +92,6 @@ def _evaluate_artifact(parser, args, overrides):
     if args.model and args.model != name:
         parser.error(f"--model {args.model} but the artifact is a {name!r} "
                      "export")
-    if name == "dmds":
-        parser.error("two-frame dmds artifact evaluation is not supported")
     if "params_cfg" not in meta:
         parser.error("artifact predates params_cfg metadata — re-export "
                      "with the current cli.export")
@@ -114,13 +112,23 @@ def _evaluate_artifact(parser, args, overrides):
     yuv = sm.input_format == "yuv420"
 
     def predict_fn(batch):
+        # Argument order mirrors cli.export's trace signature exactly
+        # (export.py _trace_args): rgb = (image, hw[, image_t1]); yuv420 =
+        # (y, u, v[, y_t1, u_t1, v_t1], hw); with_3d appends intrinsics.
         B = int(batch["image_hw"].shape[0])
+        hw = np.asarray(batch["image_hw"], np.int32)
+        u8 = lambda k: np.ascontiguousarray(batch[k], dtype=np.uint8)
         if yuv:
-            data = [np.ascontiguousarray(batch[k], dtype=np.uint8)
-                    for k in ("y", "u", "v")]
+            data = [u8("y"), u8("u"), u8("v")]
+            if name == "dmds":
+                data += [u8("y_t1"), u8("u_t1"), u8("v_t1")]
+            data.append(hw)
         else:
-            data = [np.ascontiguousarray(batch["image"], dtype=np.uint8)]
-        data.append(np.asarray(batch["image_hw"], np.int32))
+            data = [u8("image"), hw]
+            if name == "dmds":
+                data.append(u8("image_t1"))
+        if getattr(cfg, "with_3d", False):
+            data.append(np.asarray(batch["intrinsics"], np.float32))
         out = sm(*data) if sm.bucket_sizes else sm(*pad_rows(data, art_bs))
         return {k: np.asarray(v)[:B] for k, v in out.items()}
 
