@@ -31,8 +31,8 @@ def main(argv=None):
                         help="serve the artifact as a long-lived HTTP daemon "
                              "(POST /predict with image bytes; dynamic "
                              "batching to the artifact's batch size; "
-                             "/healthz, /stats) instead of streaming "
-                             "--images/--records once")
+                             "/healthz, /stats, Prometheus /metrics) instead "
+                             "of streaming --images/--records once")
     parser.add_argument("--max_wait_ms", type=float, default=5.0,
                         help="dynamic-batching window: a partial batch "
                              "dispatches after this long (HTTP mode)")
@@ -65,7 +65,7 @@ def main(argv=None):
             parser.error(f"--http expects HOST:PORT, got {args.http!r}")
         host = host.strip("[]") or "127.0.0.1"  # accept [::1]:8000
         print(f"[cvm_tpu] serving {args.artifact} on http://{args.http} "
-              f"(POST /predict, GET /healthz, GET /stats)", file=sys.stderr,
+              f"(POST /predict, GET /healthz, GET /stats, GET /metrics)", file=sys.stderr,
               flush=True)
         serve_artifact(args.artifact, host, int(port_s),
                        max_wait_ms=args.max_wait_ms,

@@ -27,6 +27,7 @@ Endpoints:
   POST /predict            image bytes -> per-image JSON record
   GET  /healthz            200 once the model has served a warmup batch
   GET  /stats              counters + latency percentiles + batch fill
+  GET  /metrics            the same counters in Prometheus text format
 """
 
 from __future__ import annotations
@@ -281,6 +282,8 @@ class ModelServer:
         self.score_threshold = float(score_threshold)
         self.decode_threads = int(decode_threads)
         self.t_start = time.time()
+        self.n_shed = 0    # 503 backpressure responses
+        self.n_errors = 0  # 500 dispatch failures/timeouts
         self.warm = threading.Event()
         self.batcher = DynamicBatcher(
             model, self.batch_size, max_wait_ms=max_wait_ms,
@@ -363,8 +366,54 @@ class ModelServer:
             pad_hw=list(self.pad_hw),
             uptime_s=round(time.time() - self.t_start, 1),
             warm=self.warm.is_set(),
+            shed=self.n_shed,
+            errors=self.n_errors,
         )
         return s
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition (v0.0.4) of the /stats counters — the
+        format every standard scrape/alert stack ingests without an adapter.
+        Latency percentiles are exposed as summary-style quantile gauges
+        (computed over a bounded sample ring, not a true streaming summary)."""
+        s = self.stats()
+        model = str(s.get("model", "?"))
+        lines = []
+
+        def metric(name, mtype, value, help_, labels=""):
+            lines.append(f"# HELP cvm_{name} {help_}")
+            lines.append(f"# TYPE cvm_{name} {mtype}")
+            lines.append(f'cvm_{name}{{model="{model}"{labels}}} {value}')
+
+        metric("requests_total", "counter", s["requests"],
+               "Rows served (including the warmup batch)")
+        metric("batches_total", "counter", s["batches"],
+               "Device dispatches")
+        metric("shed_total", "counter", s["shed"],
+               "Requests shed with HTTP 503 (queue saturated)")
+        metric("errors_total", "counter", s["errors"],
+               "Requests failed with HTTP 500 (dispatch error/timeout)")
+        metric("queue_depth", "gauge", s["queue_depth"],
+               "Requests waiting for a batch slot")
+        metric("batch_fill", "gauge", s["batch_fill"],
+               "Fraction of dispatched rows that were real requests")
+        metric("uptime_seconds", "gauge", s["uptime_s"],
+               "Seconds since server start")
+        metric("warm", "gauge", int(s["warm"]),
+               "1 once the warmup batch has been served")
+        for name, help_ in (("request_latency_ms",
+                             "End-to-end request latency (sampled)"),
+                            ("model_ms", "Device dispatch time (sampled)")):
+            key = "latency_ms" if name == "request_latency_ms" else "model_ms"
+            pct = s.get(key) or {}
+            lines.append(f"# HELP cvm_{name} {help_}")
+            lines.append(f"# TYPE cvm_{name} gauge")
+            for q, label in (("p50", "0.5"), ("p90", "0.9"), ("p99", "0.99")):
+                if q in pct:
+                    lines.append(
+                        f'cvm_{name}{{model="{model}",quantile="{label}"}} '
+                        f"{pct[q]}")
+        return "\n".join(lines) + "\n"
 
     def make_handler(self):
         server = self
@@ -390,6 +439,14 @@ class ModelServer:
                                       "model": server.meta.get("model", "?")})
                 elif self.path.startswith("/stats"):
                     self._json(200, server.stats())
+                elif self.path.startswith("/metrics"):
+                    body = server.metrics_text().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._json(404, {"error": f"no route {self.path}"})
 
@@ -422,9 +479,11 @@ class ModelServer:
                 try:
                     out = server.batcher.submit(args)
                 except OverloadedError as e:
+                    server.n_shed += 1
                     self._json(503, {"error": str(e)})
                     return
                 except (RuntimeError, TimeoutError) as e:
+                    server.n_errors += 1
                     self._json(500, {"error": str(e)})
                     return
                 self._json(200, result_record(out, 0, server.score_threshold))

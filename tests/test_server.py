@@ -224,6 +224,23 @@ def test_http_server_stub_model(rng):
         assert code == 200 and st["requests"] >= 2  # warmup + 1 ok request
         assert st["model_ms"]["n"] >= 2 and st["warm"]
 
+        # Prometheus text exposition mirrors /stats (scrape-ready, no
+        # adapter): counters carry the model label; latency percentiles
+        # surface as quantile-labelled gauges.
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{fx.port}/metrics", timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "# TYPE cvm_requests_total counter" in text
+        import re as _re
+
+        m = _re.search(r'cvm_requests_total\{model="\?"\} (\d+)', text)
+        assert m and int(m.group(1)) == st["requests"]
+        assert 'cvm_warm{model="?"} 1' in text
+        assert _re.search(
+            r'cvm_model_ms\{model="\?",quantile="0.5"\} [\d.]+', text)
+
         code, _ = fx.get("/nope")
         assert code == 404
 
