@@ -62,8 +62,15 @@ def _run_tiled(args, spec, cfg, trainer):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--model", required=True)
-    parser.add_argument("--checkpoint_dir", required=True)
+    parser.add_argument("--model", default=None,
+                        help="model-zoo name (optional with --artifact)")
+    parser.add_argument("--checkpoint_dir", default=None)
+    parser.add_argument("--artifact", default=None, metavar="DIR",
+                        help="run an EXPORTED artifact (cli.export output) "
+                             "instead of a checkpoint: the serialized "
+                             "program + shipped weights produce the JSONL "
+                             "and --visualize renderings (rgb exports; "
+                             "quantize/fold/tta are baked in at export)")
     parser.add_argument("--images", default=None, help="glob of image files")
     parser.add_argument("--records", default=None, help=".cvrec glob")
     parser.add_argument("--batch_size", type=int, default=8)
@@ -90,6 +97,39 @@ def main(argv=None):
 
     apply_platform_env()
 
+    if bool(args.artifact) == bool(args.checkpoint_dir):
+        parser.error("exactly one source: --checkpoint_dir or --artifact")
+
+    sm = None
+    if args.artifact:
+        # Deployment-side inference: the serialized program runs as-is (the
+        # reference's "run the converted TFLite" step with drawings).
+        from cvm_tpu.infer.runtime import ServingModel
+
+        for flag, name in ((args.w8a8, "--w8a8"), (args.tta != "none", "--tta"),
+                           (args.tiled, "--tiled")):
+            if flag:
+                parser.error(f"{name} is baked at export time for artifacts")
+        sm = ServingModel(args.artifact)
+        if sm.input_format != "rgb":
+            parser.error("cli.infer serves rgb artifacts (yuv420 accuracy "
+                         "runs via cli.evaluate --artifact; streaming via "
+                         "cli.serve)")
+        name = sm.meta.get("model")
+        if sm.meta.get("model") == "dmds":
+            parser.error("two-frame dmds artifacts stream via cli.serve "
+                         "--records")
+        if args.model and args.model != name:
+            parser.error(f"--model {args.model} but the artifact is a "
+                         f"{name!r} export")
+        args.model = name
+        args.batch_size = int(sm.meta.get("batch_size", args.batch_size))
+        pad_hw = tuple(sm.meta.get("pad_hw"))
+        with_3d = bool(sm.meta.get("params_cfg", {}).get("with_3d", False))
+        art_bs = args.batch_size
+    elif not args.model:
+        parser.error("--model is required with --checkpoint_dir")
+
     import jax
 
     from cvm_tpu.models import get_model
@@ -97,11 +137,12 @@ def main(argv=None):
     from cvm_tpu.train.checkpoints import CheckpointManager, load_params_cfg
     from cvm_tpu.train.loop import Trainer
 
-    spec = get_model(args.model)
-    cfg = load_params_cfg(args.checkpoint_dir, spec.params_cls)
+    if sm is None:
+        spec = get_model(args.model)
+        cfg = load_params_cfg(args.checkpoint_dir, spec.params_cls)
 
-    trainer = Trainer(spec, cfg, checkpoint_dir=args.checkpoint_dir)
-    pad_hw = (int(cfg.input_hw[0] * 1.5), int(cfg.input_hw[1] * 1.5))
+        trainer = Trainer(spec, cfg, checkpoint_dir=args.checkpoint_dir)
+        pad_hw = (int(cfg.input_hw[0] * 1.5), int(cfg.input_hw[1] * 1.5))
 
     if args.tiled:
         if spec.name not in ("semseg", "depth", "multitask"):
@@ -142,6 +183,25 @@ def main(argv=None):
 
     gen = batches()
     names, first = next(gen)
+    if sm is not None:
+        from cvm_tpu.utils.batch import pad_rows
+
+        def _artifact_pipe(batch):
+            B = int(batch["image_hw"].shape[0])
+            data = [np.ascontiguousarray(batch["image"], dtype=np.uint8),
+                    np.asarray(batch["image_hw"], np.int32)]
+            if with_3d:
+                intr = batch.get("intrinsics")
+                if intr is None:  # bare image files carry no camera K
+                    intr = np.tile(np.asarray([[1.0, 1.0, 0.0, 0.0]],
+                                              np.float32), (B, 1))
+                data.append(np.asarray(intr, np.float32))
+            out = (sm(*data) if sm.bucket_sizes
+                   else sm(*pad_rows(data, art_bs)))
+            return {k: np.asarray(v)[:B] for k, v in out.items()}
+
+        pipe = _artifact_pipe
+        return _drive(args, gen, names, first, pipe)
     trainer.init_state(first)
     variables = {"params": trainer.eval_params, "batch_stats": trainer.state.batch_stats}
     w8a8 = False
@@ -168,7 +228,11 @@ def main(argv=None):
         print(json.dumps({"w8a8_calibrated_convs": len(w8a8)}), flush=True)
     pipe = InferencePipeline(spec, cfg, variables, mesh=trainer.mesh, w8a8=w8a8,
                              tta=args.tta)
+    return _drive(args, gen, names, first, pipe)
 
+
+def _drive(args, gen, names, first, pipe):
+    """Shared JSONL + --visualize loop (checkpoint pipeline or artifact)."""
     if args.visualize:
         os.makedirs(args.visualize, exist_ok=True)
 

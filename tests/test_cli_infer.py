@@ -80,3 +80,29 @@ def test_cli_infer_tiled_native_resolution(tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["--model", "centernet", "--checkpoint_dir", ck2,
               "--images", pattern, "--tiled"])
+
+
+def test_cli_infer_artifact(tmp_path, capsys):
+    """--artifact: the serialized export produces the same JSONL records and
+    rendered PNGs as the checkpoint pipeline — deployment-side inference."""
+    from cvm_tpu.cli.export import export_model
+    from cvm_tpu.cli.infer import main
+
+    ck = _checkpoint(tmp_path, "semseg", num_classes=3, decoder_features=16,
+                     class_weights=(1.0, 1.0, 1.0))
+    art = str(tmp_path / "art")
+    export_model("semseg", ck, art, batch_size=2, pad_hw=(48, 48))
+    pattern = _images(tmp_path, hw=(40, 44))
+    vis = str(tmp_path / "visa")
+    assert main(["--artifact", art, "--images", pattern,
+                 "--visualize", vis]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 2 and all("class_histogram" in r for r in lines)
+    assert len(os.listdir(vis)) == 2
+
+    # Baked-in choices and non-rgb/dmds artifacts are rejected clearly.
+    with pytest.raises(SystemExit):
+        main(["--artifact", art, "--images", pattern, "--tta", "hflip"])
+    with pytest.raises(SystemExit):
+        main(["--artifact", art, "--checkpoint_dir", ck])
