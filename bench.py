@@ -87,6 +87,15 @@ _BENCH_MARK: str | None = None  # runs/BENCH_RUNNING, for watchdog cleanup
 _FLAGSHIP_STOPPED: int | None = None  # SIGSTOPped flagship pid, to SIGCONT
 
 
+def _proc_state(pid: int) -> str:
+    """Single-letter process state from /proc (T = stopped); '' if unknown."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            return f.read().rsplit(")", 1)[-1].split()[0]
+    except (OSError, IndexError):
+        return ""
+
+
 def _resume_flagship() -> None:
     """SIGCONT the paused persistent flagship trainer (idempotent)."""
     global _FLAGSHIP_STOPPED
@@ -583,7 +592,15 @@ def _coordinate_with_measure_queue() -> None:
     try:
         with open(os.path.join(runs, "FLAGSHIP_RUNNING")) as f:
             fpid = int(f.read().strip() or "0")
-        if fpid > 0:
+        if fpid > 0 and _proc_state(fpid) == "T":
+            # ALREADY stopped by another actor (measure_all.sh step or the
+            # watcher probe): pausing is their transaction — do NOT take
+            # ownership, or our exit would SIGCONT the trainer into the
+            # middle of their timing window.
+            print(f"bench: flagship trainer pid {fpid} already paused by "
+                  "another measurer — leaving its resume to the owner",
+                  file=sys.stderr, flush=True)
+        elif fpid > 0:
             os.kill(fpid, signal.SIGSTOP)
             _FLAGSHIP_STOPPED = fpid
             _STATUS["flagship_paused"] = True

@@ -52,11 +52,17 @@ def run_checks(probe_iters: int = 8) -> dict:
 
         x = jnp.asarray(np.random.default_rng(0).normal(size=(256, 256)),
                         jnp.float32)
-        (x @ x).block_until_ready()  # compile outside the timing loop
+        # Compile outside the timing loop — same matmul+rescale program as
+        # the probe hops below.
+        ((x @ x) * (1.0 / 16.0)).block_until_ready()
         t0 = time.perf_counter()
         y = x
         for _ in range(probe_iters):
-            y = y @ x
+            # Renormalize each hop: a 256² N(0,1) matmul grows magnitudes
+            # ~16x/iter, and once saturated to inf every dispatch has
+            # byte-identical inputs — which relay caches serve without
+            # touching the chip, defeating the probe (CLAUDE.md).
+            y = (y @ x) * (1.0 / 16.0)
         float(y[0, 0])  # terminal readback
         dt_ms = (time.perf_counter() - t0) / probe_iters * 1e3
         report["dispatch_ms"] = round(dt_ms, 3)

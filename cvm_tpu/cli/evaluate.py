@@ -84,7 +84,6 @@ def _evaluate_artifact(parser, args, overrides):
     from cvm_tpu.infer.runtime import ServingModel
     from cvm_tpu.models import get_model
     from cvm_tpu.train.evaluate import evaluate_model
-    from cvm_tpu.utils.batch import pad_rows
 
     sm = ServingModel(args.artifact)
     meta = sm.meta
@@ -92,6 +91,9 @@ def _evaluate_artifact(parser, args, overrides):
     if args.model and args.model != name:
         parser.error(f"--model {args.model} but the artifact is a {name!r} "
                      "export")
+    if args.pr_out and name not in ("centernet", "multitask"):
+        parser.error(f"--pr_out needs a detection-capable model "
+                     f"(centernet/multitask); the artifact is {name!r}")
     if "params_cfg" not in meta:
         parser.error("artifact predates params_cfg metadata — re-export "
                      "with the current cli.export")
@@ -111,26 +113,9 @@ def _evaluate_artifact(parser, args, overrides):
 
     yuv = sm.input_format == "yuv420"
 
-    def predict_fn(batch):
-        # Argument order mirrors cli.export's trace signature exactly
-        # (export.py _trace_args): rgb = (image, hw[, image_t1]); yuv420 =
-        # (y, u, v[, y_t1, u_t1, v_t1], hw); with_3d appends intrinsics.
-        B = int(batch["image_hw"].shape[0])
-        hw = np.asarray(batch["image_hw"], np.int32)
-        u8 = lambda k: np.ascontiguousarray(batch[k], dtype=np.uint8)
-        if yuv:
-            data = [u8("y"), u8("u"), u8("v")]
-            if name == "dmds":
-                data += [u8("y_t1"), u8("u_t1"), u8("v_t1")]
-            data.append(hw)
-        else:
-            data = [u8("image"), hw]
-            if name == "dmds":
-                data.append(u8("image_t1"))
-        if getattr(cfg, "with_3d", False):
-            data.append(np.asarray(batch["intrinsics"], np.float32))
-        out = sm(*data) if sm.bucket_sizes else sm(*pad_rows(data, art_bs))
-        return {k: np.asarray(v)[:B] for k, v in out.items()}
+    # Argument ordering/padding/trim live in ServingModel.predict_batch —
+    # the single consumer-side home of the export trace-signature contract.
+    predict_fn = sm.predict_batch
 
     val = _build_val(args, cfg, pad_hw, yuv420=yuv)
     m = evaluate_model(spec, cfg, None, val, max_batches=args.batches,
@@ -140,7 +125,7 @@ def _evaluate_artifact(parser, args, overrides):
                        predict_fn=predict_fn)
     if args.pr_out:
         with open(args.pr_out, "w") as f:
-            json.dump(m.pop("pr_curves"), f)
+            json.dump(m.pop("pr_curves", {}), f)
         print(f"[cvm_tpu] PR curves -> {args.pr_out}", file=sys.stderr)
     _emit(args, m, step=-1)
     return 0
@@ -216,6 +201,9 @@ def main(argv=None):
     from cvm_tpu.train.loop import Trainer
 
     spec = get_model(args.model)
+    if args.pr_out and args.model not in ("centernet", "multitask"):
+        parser.error(f"--pr_out needs a detection-capable model "
+                     f"(centernet/multitask), got {args.model!r}")
     # The checkpoint is self-describing: use the SAVED config (so optimizer/
     # EMA/accum state templates match the on-disk tree), with CLI overrides
     # applied on top for eval-only knobs.
@@ -258,7 +246,10 @@ def main(argv=None):
     if args.average_last:
         from cvm_tpu.train.average import average_checkpoints
 
-        steps = average_checkpoints(trainer, args.average_last)
+        try:
+            steps = average_checkpoints(trainer, args.average_last)
+        except ValueError as e:
+            parser.error(f"--average_last: {e}")
         print(f"[cvm_tpu] averaged checkpoints at steps {list(steps)}",
               file=sys.stderr)
 
@@ -328,7 +319,7 @@ def main(argv=None):
                        w8a8=w8a8, fold_bn=args.fold_bn)
     if args.pr_out:
         with open(args.pr_out, "w") as f:
-            json.dump(m.pop("pr_curves"), f)
+            json.dump(m.pop("pr_curves", {}), f)
         print(f"[cvm_tpu] PR curves -> {args.pr_out}", file=sys.stderr)
     _emit(args, m, step)
     return 0

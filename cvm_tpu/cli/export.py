@@ -47,7 +47,13 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
     if average_last:
         from cvm_tpu.train.average import average_checkpoints
 
-        avg_steps = average_checkpoints(trainer, average_last)
+        try:
+            avg_steps = average_checkpoints(trainer, average_last)
+        except ValueError as e:
+            # CLI-facing: a documented flag combination (e.g. a best/ dir
+            # retaining one checkpoint) must fail with a message, not a
+            # traceback after full trainer init.
+            raise SystemExit(f"--average_last: {e}")
         print(f"[export] shipping the mean of checkpoints {list(avg_steps)}")
     # Host round-trip strips mesh shardings so the artifact is single-device
     # portable (serving replication is the runtime's concern, not the export's).
@@ -127,6 +133,17 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
     blob = blobs[batch_size]
 
     os.makedirs(out_dir, exist_ok=True)
+    # Remove STALE bucket programs from a previous export into this dir
+    # first: ServingModel globs model_b*.stablehlo unconditionally, so a
+    # leftover bucket would silently serve an OLD program (e.g. unfolded-BN)
+    # against the NEW weights — the exact folded/unfolded mix DESIGN.md §8
+    # forbids — and the selftest only exercises the primary batch size.
+    import glob as _glob
+
+    keep = {f"model_b{bs}.stablehlo" for bs in sizes} if len(sizes) > 1 else set()
+    for path in _glob.glob(os.path.join(out_dir, "model_b*.stablehlo")):
+        if os.path.basename(path) not in keep:
+            os.remove(path)
     with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
         f.write(blob)
     if len(sizes) > 1:

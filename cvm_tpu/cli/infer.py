@@ -125,8 +125,6 @@ def main(argv=None):
         args.model = name
         args.batch_size = int(sm.meta.get("batch_size", args.batch_size))
         pad_hw = tuple(sm.meta.get("pad_hw"))
-        with_3d = bool(sm.meta.get("params_cfg", {}).get("with_3d", False))
-        art_bs = args.batch_size
     elif not args.model:
         parser.error("--model is required with --checkpoint_dir")
 
@@ -184,24 +182,10 @@ def main(argv=None):
     gen = batches()
     names, first = next(gen)
     if sm is not None:
-        from cvm_tpu.utils.batch import pad_rows
-
-        def _artifact_pipe(batch):
-            B = int(batch["image_hw"].shape[0])
-            data = [np.ascontiguousarray(batch["image"], dtype=np.uint8),
-                    np.asarray(batch["image_hw"], np.int32)]
-            if with_3d:
-                intr = batch.get("intrinsics")
-                if intr is None:  # bare image files carry no camera K
-                    intr = np.tile(np.asarray([[1.0, 1.0, 0.0, 0.0]],
-                                              np.float32), (B, 1))
-                data.append(np.asarray(intr, np.float32))
-            out = (sm(*data) if sm.bucket_sizes
-                   else sm(*pad_rows(data, art_bs)))
-            return {k: np.asarray(v)[:B] for k, v in out.items()}
-
-        pipe = _artifact_pipe
-        return _drive(args, gen, names, first, pipe)
+        # Argument ordering/padding/intrinsics-defaulting/trim live in
+        # ServingModel.predict_batch (the one consumer-side home of the
+        # export trace-signature contract).
+        return _drive(args, gen, names, first, sm.predict_batch)
     trainer.init_state(first)
     variables = {"params": trainer.eval_params, "batch_stats": trainer.state.batch_stats}
     w8a8 = False

@@ -234,21 +234,23 @@ def main(argv=None):
         art_hw = tuple(meta.get("pad_hw", (0, 0)))
 
         def predict(batch):
-            from cvm_tpu.utils.batch import pad_rows
-
+            # Clamp each frame onto the artifact's static canvas, then hand
+            # off to ServingModel.predict_batch — the one consumer-side home
+            # of the trace-signature contract (argument order, with_3d
+            # intrinsics defaulting, partial-batch padding, output trim).
             h = np.minimum(batch["image_hw"], np.asarray(art_hw, np.int32))
             imgs = np.zeros((batch["image"].shape[0], *art_hw, 3), np.uint8)
             for i in range(imgs.shape[0]):
                 imgs[i, :h[i, 0], :h[i, 1]] = \
                     batch["image"][i, :h[i, 0], :h[i, 1]]
-            data = (imgs, h)
+            d = {"image": imgs, "image_hw": h}
             if two_frame:
                 t1 = np.zeros_like(imgs)
                 for i in range(imgs.shape[0]):
                     t1[i, :h[i, 0], :h[i, 1]] = \
                         batch["image_t1"][i, :h[i, 0], :h[i, 1]]
-                data += (t1,)
-            return model(*pad_rows(data, batch_size))
+                d["image_t1"] = t1
+            return model.predict_batch(d)
 
         cfg = None
     else:

@@ -113,6 +113,42 @@ class ServingModel:
             return self._buckets[B].call(self.variables, *data_args)
         return self._exported.call(self.variables, *data_args)
 
+    def predict_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Run a dict batch through the artifact: orders arguments to match
+        cli.export's trace signature (rgb = image, hw[, image_t1]; yuv420 =
+        y, u, v[, *_t1], hw; with_3d appends intrinsics), pads partial
+        batches to the program's static batch, and trims outputs back to the
+        true row count. The ONE place the trace-argument contract lives on
+        the consumer side — cli.evaluate/infer/video all call this."""
+        from cvm_tpu.utils.batch import pad_rows
+
+        name = self.meta.get("model")
+        cfg = self.meta.get("params_cfg") or {}
+        hw = np.asarray(batch["image_hw"], np.int32)
+        B = int(hw.shape[0])
+        u8 = lambda k: np.ascontiguousarray(batch[k], dtype=np.uint8)
+        if self.input_format == "yuv420":
+            data = [u8("y"), u8("u"), u8("v")]
+            if name == "dmds":
+                data += [u8("y_t1"), u8("u_t1"), u8("v_t1")]
+            data.append(hw)
+        else:
+            data = [u8("image"), hw]
+            if name == "dmds":
+                data.append(u8("image_t1"))
+        if bool(cfg.get("with_3d", False)):
+            intr = batch.get("intrinsics")
+            if intr is None:
+                # Bare image files / video frames carry no camera K: decode
+                # against the identity camera (fx=fy=1, cx=cy=0) — centers
+                # and yaw remain meaningful, metric back-projection doesn't.
+                intr = np.tile(np.asarray([[1.0, 1.0, 0.0, 0.0]], np.float32),
+                               (B, 1))
+            data.append(np.asarray(intr, np.float32))
+        art_bs = int(self.meta.get("batch_size", 1))
+        out = self(*data) if self.bucket_sizes else self(*pad_rows(data, art_bs))
+        return {k: np.asarray(v)[:B] for k, v in out.items()}
+
     def selftest(self, rtol: float = 0.05, atol: float = 1e-3):
         """Verify program+weights integrity against the fingerprint recorded
         at export (infer/selftest.py). Returns [] when verified, else

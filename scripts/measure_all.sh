@@ -72,9 +72,17 @@ flagship_pid() {
   [[ -n "$p" ]] && kill -0 "$p" 2>/dev/null && echo "$p"
 }
 pause_flagship() {
-  local p
+  local p state
   p="$(flagship_pid || true)"
   if [[ -n "$p" ]]; then
+    # Already-stopped means another measurer owns the pause transaction —
+    # do not take ownership or our resume_flagship would SIGCONT the
+    # trainer into the middle of their timing window.
+    state="$(ps -o stat= -p "$p" 2>/dev/null || true)"
+    if [[ "$state" == T* ]]; then
+      echo "(flagship pid $p already paused by another measurer)"
+      return 0
+    fi
     echo "(pausing flagship run pid $p for this step)"
     kill -STOP "$p" 2>/dev/null && FLAGSHIP_PAUSED="$p"
   fi

@@ -27,11 +27,19 @@ probe_ms() {
   # the probe's duration or its in-flight dispatches queue ahead of the
   # probe matmul and every window reads falsely degraded.
   echo "$$" > runs/PROBING
-  local out fpid=""
+  local out fpid="" state
   fpid="$(cat runs/FLAGSHIP_RUNNING 2>/dev/null || true)"
   if [[ -n "$fpid" ]] && kill -0 "$fpid" 2>/dev/null; then
-    kill -STOP "$fpid" 2>/dev/null || fpid=""
-    sleep 3  # let its ~8-deep in-flight window drain off the chip
+    # Already-stopped = another measurer's pause transaction; never CONT a
+    # trainer we did not STOP (it would wake mid-way through their timing
+    # window). fpid stays empty so the CONT below is skipped too.
+    state="$(ps -o stat= -p "$fpid" 2>/dev/null || true)"
+    if [[ "$state" == T* ]]; then
+      fpid=""
+    else
+      kill -STOP "$fpid" 2>/dev/null || fpid=""
+      sleep 3  # let its ~8-deep in-flight window drain off the chip
+    fi
   else
     fpid=""
   fi
@@ -72,14 +80,27 @@ ensure_flagship() {
       kill -CONT "$run_pid" 2>/dev/null || true
     fi
   fi
-  p="$(cat runs/FLAGSHIP_PERSIST 2>/dev/null || true)"
-  if [[ -z "$p" ]] || ! kill -0 "$p" 2>/dev/null; then
-    echo "$(date -Is) starting persistent flagship run (scripts/flagship_persist.sh)"
-    nohup bash scripts/flagship_persist.sh >> runs/flagship_persist.log 2>&1 &
-  fi
+  # Any live persist loop (centernet's runs/FLAGSHIP_PERSIST or a variant
+  # like runs/FLAGSHIP_SEMSEG_PERSIST) blocks spawning another: two trainers
+  # on the one chip + single host core corrupt each other AND both write
+  # runs/FLAGSHIP_RUNNING, breaking SIGSTOP coordination.
+  for f in runs/FLAGSHIP_PERSIST runs/FLAGSHIP_*_PERSIST; do
+    [[ -e "$f" ]] || continue
+    p="$(cat "$f" 2>/dev/null || true)"
+    [[ -n "$p" ]] && kill -0 "$p" 2>/dev/null && return 0
+  done
+  echo "$(date -Is) starting persistent flagship run (scripts/flagship_persist.sh)"
+  nohup bash scripts/flagship_persist.sh >> runs/flagship_persist.log 2>&1 &
 }
 
 while true; do
+  # Driver priority: never dispatch a probe (or STOP/CONT the trainer)
+  # while the driver's bench.py is mid-measurement.
+  if lock_live runs/BENCH_RUNNING; then
+    echo "$(date -Is) driver bench running — skipping this probe cycle"
+    sleep "$INTERVAL"
+    continue
+  fi
   ensure_flagship
   ms="$(probe_ms || true)"
   ms="${ms:-inf}"

@@ -333,6 +333,17 @@ def test_multi_batch_bucket_artifact(tmp_path, rng):
         for i in range(B):
             np.testing.assert_array_equal(out_b[i], rows[i])
 
+    # Re-export into the SAME dir without --batch_sizes: stale bucket
+    # programs must be deleted, or ServingModel would silently serve the
+    # OLD programs against the NEW weights (the folded/unfolded-mix hazard).
+    export_model("semseg", ckdir, out, batch_size=1)
+    import glob as _glob
+
+    assert _glob.glob(f"{out}/model_b*.stablehlo") == []
+    m2 = ServingModel(out)
+    assert m2.bucket_sizes == []
+    assert np.asarray(m2(img[:1], hw[:1])["class_map"]).shape == (1, 32, 32)
+
 
 def test_evaluate_artifact_scores_the_serialized_export(tmp_path, capsys):
     """cli.evaluate --artifact: the metric pipeline drives the StableHLO
@@ -444,3 +455,17 @@ def test_evaluate_artifact_special_signatures(tmp_path, capsys):
     export_model("centernet", ck, art, batch_size=8, pad_hw=(48, 48))
     m = run("--artifact", art, "--batches", "1")
     assert "mAP" in m, m
+
+    # ServingModel.predict_batch (the shared consumer adapter used by
+    # cli.evaluate/infer/video): a partial batch WITHOUT intrinsics must
+    # serve — bare images/video frames carry no camera K, so the adapter
+    # defaults to the identity camera — and outputs trim to the true rows.
+    from cvm_tpu.infer.runtime import ServingModel
+
+    sm = ServingModel(art)
+    g = np.random.default_rng(7)
+    out = sm.predict_batch({
+        "image": g.integers(0, 255, (3, 48, 48, 3), dtype=np.uint8),
+        "image_hw": np.asarray([[48, 48]] * 3, np.int32),
+    })
+    assert out["boxes"].shape[0] == 3 and "centers3d" in out
