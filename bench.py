@@ -508,6 +508,9 @@ def measure_tpu(iters: int = 30) -> dict:
         "batch_size": B,
         "device": str(jax.devices()[0]),
         "tunnel_probe_ms": round(probe_ms, 2),
+        # Deploy posture measured: entry() folds BN into the conv kernels
+        # unless CVM_BENCH_FOLD_BN=0 (DESIGN.md §9b).
+        "fold_bn": os.environ.get("CVM_BENCH_FOLD_BN", "1") != "0",
     }
     t_steady = max(t_pipelined, t_decode_batch)
     res["images_per_sec_incl_decode"] = float(B / t_steady)

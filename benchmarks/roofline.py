@@ -58,37 +58,72 @@ def _cost(compiled) -> tuple:
             float(ca.get("bytes accessed", 0.0) or 0.0))
 
 
-def _lower_infer(spec_name, cfg, variant, rng):
+def _lower_infer(spec_name, cfg, variant, rng, cpu_device=None, scope="e2e"):
+    """Compile the e2e inference program and return the compiled object.
+
+    With ``cpu_device`` set (--tpu mode): all CONCRETE work — init,
+    calibration, BN folding — runs on the CPU backend, and every array is
+    pulled back to host numpy before lowering, so the jit targets the
+    default (TPU) backend purely from abstract shapes and the only remote
+    RPC is the compile itself. No step is ever dispatched to the chip."""
+    import contextlib
+
     import jax
 
     from cvm_tpu.data.synthetic import synthetic_batch
     from cvm_tpu.infer.pipeline import InferencePipeline
     from cvm_tpu.models import get_model
 
+    ctx = (jax.default_device(cpu_device) if cpu_device is not None
+           else contextlib.nullcontext())
     spec = get_model(spec_name)
     model = spec.create_model(cfg)
     two_frame = spec_name == "dmds"
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        np.zeros((1, *cfg.input_hw, 6 if two_frame else 3), np.float32),
-        train=False,
-    )
-    kw = {}
-    if "fold" in variant:
-        kw["fold_bn"] = True
-    if variant.endswith("w8a8"):
-        kw["w8a8"] = True
-    elif "w8a8_static" in variant:
-        # Calibrate eagerly on one tiny batch — scales only steer which convs
-        # take the int8 path; their values do not change FLOPs/bytes.
-        from cvm_tpu.infer.quantize import calibrate_activation_scales
+    with ctx:
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1, *cfg.input_hw, 6 if two_frame else 3), np.float32),
+            train=False,
+        )
+        kw = {}
+        if "fold" in variant:
+            kw["fold_bn"] = True
+        if variant.endswith("w8a8"):
+            kw["w8a8"] = True
+        elif "w8a8_static" in variant:
+            # Calibrate eagerly on one tiny batch — scales only steer which
+            # convs take the int8 path; values don't change FLOPs/bytes.
+            from cvm_tpu.infer.quantize import calibrate_activation_scales
 
-        calib = np.asarray(
-            rng.standard_normal((min(cfg.batch_size, 2), *cfg.input_hw,
-                                 6 if two_frame else 3)), np.float32)
-        kw["w8a8"] = calibrate_activation_scales(
-            lambda x: model.apply(variables, x, train=False), [calib])
-    pipe = InferencePipeline(spec, cfg, variables, **kw)
+            calib = np.asarray(
+                rng.standard_normal((min(cfg.batch_size, 2), *cfg.input_hw,
+                                     6 if two_frame else 3)), np.float32)
+            kw["w8a8"] = calibrate_activation_scales(
+                lambda x: model.apply(variables, x, train=False), [calib])
+        if cpu_device is not None:
+            # Host numpy leaves are UNCOMMITTED, so the lowering below
+            # follows the default backend (TPU) instead of sticking to the
+            # CPU arrays' placement.
+            variables = jax.tree.map(np.asarray, variables)
+        pipe = InferencePipeline(spec, cfg, variables, **kw)
+
+    pvars = pipe._variables
+    if cpu_device is not None:
+        pvars = jax.tree.map(np.asarray, pvars)
+    if scope == "forward":
+        # Model stage only (the program DESIGN.md §9 measured at 2.37 GB /
+        # 352 GFLOP): bf16 input, summed outputs — separates the backbone's
+        # accounting from the preprocess/decode ops of the e2e program.
+        import jax.numpy as jnp
+
+        x = np.zeros((cfg.batch_size, *cfg.input_hw,
+                      6 if two_frame else 3), np.float32).astype(jnp.bfloat16)
+
+        def fwd(v, xx):
+            out = pipe._apply(v, xx, train=False)
+            return tuple(jnp.sum(t, dtype=jnp.float32) for t in out.values())
+
+        return jax.jit(fwd).lower(pvars, x).compile()
 
     pad = (int(cfg.input_hw[0] * 1.5) // 2 * 2,
            int(cfg.input_hw[1] * 1.5) // 2 * 2)
@@ -96,7 +131,7 @@ def _lower_infer(spec_name, cfg, variant, rng):
                         two_frame=two_frame)
     args = ((b["image"], b["image_hw"], b["image_t1"]) if two_frame
             else (b["image"], b["image_hw"]))
-    return pipe._predict.lower(pipe._variables, *args).compile()
+    return pipe._predict.lower(pvars, *args).compile()
 
 
 def _lower_train(spec_name, cfg, rng):
@@ -157,6 +192,15 @@ def main(argv=None):
     p.add_argument("--hw", default=None, help="override input_hw as H,W")
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--out", default=None, help="also append JSON rows here")
+    p.add_argument("--scope", default="e2e", choices=("e2e", "forward"),
+                   help="e2e = full serving program (preprocess+forward+"
+                        "decode); forward = model stage only (bf16 in, "
+                        "summed heads out — DESIGN.md §9's 352-GFLOP unit)")
+    p.add_argument("--tpu", action="store_true",
+                   help="compile for the ambient TPU backend (concrete work "
+                        "on CPU, compile-only RPC to the chip) — TPU-lowered "
+                        "FLOPs/bytes without dispatching a single step, so "
+                        "it tolerates timing-degraded tunnel windows")
     args = p.parse_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
@@ -164,6 +208,14 @@ def main(argv=None):
     apply_platform_env()
     import jax
 
+    cpu_device = None
+    if args.tpu:
+        # Both backends in one process: TPU (first = default, the compile
+        # target) + CPU (all concrete init/calibration work).
+        jax.config.update("jax_platforms", "axon,cpu")
+        if jax.default_backend() == "cpu":
+            p.error("--tpu: no TPU backend available in this environment")
+        cpu_device = jax.devices("cpu")[0]
     backend = jax.default_backend()
     from cvm_tpu.cli.benchmark import _configs
 
@@ -181,14 +233,27 @@ def main(argv=None):
         if args.batch:
             cfg = cfg.replace(batch_size=args.batch)
         variants = (args.variants.split(",") if mode == "infer" else ["bf16"])
+        if mode == "train" and args.tpu:
+            # Trainer.init_state executes on the default device — in --tpu
+            # mode that would dispatch real steps to a possibly-degraded
+            # chip; train-mode FLOPs from the CPU run are lowering-
+            # independent anyway.
+            log = {"config": key, "model": spec_name, "mode": mode,
+                   "skipped": "train-mode configs need state init on-device; "
+                              "use the CPU roofline for FLOPs"}
+            print(json.dumps(log), flush=True)
+            continue
         for variant in variants:
             variant = variant.strip()
             if mode == "train":
                 compiled = _lower_train(spec_name, cfg, rng)
             else:
-                compiled = _lower_infer(spec_name, cfg, variant, rng)
+                compiled = _lower_infer(spec_name, cfg, variant, rng,
+                                        cpu_device=cpu_device,
+                                        scope=args.scope)
             flops, bytes_acc = _cost(compiled)
             row = {"config": key, "model": spec_name, "mode": mode,
+                   "scope": args.scope if mode == "infer" else "train_step",
                    "variant": variant, "input_hw": list(cfg.input_hw),
                    "batch_size": cfg.batch_size, "chip": args.chip,
                    "lowering_backend": backend,

@@ -246,9 +246,17 @@ def main(argv=None):
                              "(calibrated static activation scales)")
     parser.add_argument("--input_format", choices=["rgb", "yuv420"], default="rgb",
                         help="yuv420 exports the bandwidth-optimal serving path")
-    parser.add_argument("--fold_bn", action="store_true",
+    parser.add_argument("--fold_bn", action="store_true", default=None,
                         help="fold BatchNorm scales into conv kernels at "
-                             "export (BN shrinks to a fused bias add)")
+                             "export (BN shrinks to a fused bias add). "
+                             "DEFAULT (round 4): ON for fp exports — exactly "
+                             "equivalent (tests/test_fold_bn.py), -14.6%% "
+                             "model-stage HBM traffic TPU-lowered (DESIGN.md "
+                             "§9b) — and OFF for --quantize exports, where "
+                             "folding measurably coarsens the int8 grid "
+                             "(§8: fold+w8a8 loses 0.6 mAP vs w8a8 alone)")
+    parser.add_argument("--no_fold_bn", dest="fold_bn", action="store_false",
+                        help="ship unfolded kernels + BN normalize instead")
     parser.add_argument("--tta", default="none", choices=["none", "hflip"],
                         help="bake horizontal-flip TTA into the artifact "
                              "(head-level merge, 2x compute per batch)")
@@ -256,6 +264,10 @@ def main(argv=None):
                         help="ship the MEAN of the last N retained "
                              "checkpoints (SWA) instead of the newest one")
     args = parser.parse_args(argv)
+    if args.fold_bn is None:
+        # Measured defaults (DESIGN.md §8/§9b): folding is a pure win for fp
+        # serving and a measured accuracy loss under int8 quantization.
+        args.fold_bn = args.quantize == "none"
     sizes = None
     if args.batch_sizes:
         sizes = [int(s) for s in args.batch_sizes.split(",") if s]

@@ -110,7 +110,7 @@ while true; do
 m='$ms'
 try:
     v = float(m)
-    print('full' if v < 10.0 else 'none')
+    print('full' if v < 10.0 else ('compile' if v < 2000.0 else 'none'))
 except ValueError:
     print('none')
 ")"
@@ -123,6 +123,20 @@ except ValueError:
       exit 0
     fi
     echo "$(date -Is) some steps FAILED (window closed?) — will retry"
+  elif [[ "$tier" == "compile" && ! -e "$OUT/roofline_tpu.ok" ]]; then
+    # Alive-but-degraded window: timing is garbage but compile RPCs serve.
+    # Capture the TPU-LOWERED roofline (real fusion/bytes for DESIGN §9b's
+    # serving-variant ablation) — compile-only, zero steps dispatched.
+    echo "$(date -Is) tunnel ALIVE (degraded, ${ms} ms) — capturing TPU-lowered roofline"
+    echo "$$" > runs/MEASURING
+    if timeout 2400 python benchmarks/roofline.py --tpu --configs B \
+        --out runs/roofline_tpu.json > "$OUT/roofline_tpu.log" 2>&1; then
+      touch "$OUT/roofline_tpu.ok"
+      echo "$(date -Is) TPU roofline captured -> runs/roofline_tpu.json"
+    else
+      echo "$(date -Is) TPU roofline attempt failed (window closed?) — will retry"
+    fi
+    rm -f runs/MEASURING
   fi
   sleep "$INTERVAL"
 done

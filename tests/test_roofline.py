@@ -10,9 +10,15 @@ import pytest
 
 
 def _run(args):
+    import os
+
+    # Pin the subprocess to CPU explicitly: the ambient sitecustomize re-pins
+    # JAX_PLATFORMS to the tunneled TPU at interpreter start, so the
+    # conftest's env alone does not survive into subprocesses.
+    env = dict(os.environ, CVM_PLATFORM="cpu")
     out = subprocess.run(
         [sys.executable, "benchmarks/roofline.py", *args],
-        capture_output=True, text=True, timeout=900, cwd=".",
+        capture_output=True, text=True, timeout=900, cwd=".", env=env,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     rows = [json.loads(line) for line in out.stdout.splitlines()
