@@ -110,3 +110,40 @@ def test_export_fold_bn_artifact(tmp_path, rng):
     np.savez(os.path.join(out_fold, "weights.npz"), **wiped)
     cm_wiped = np.asarray(ServingModel(out_fold)(img, hw)["class_map"])
     np.testing.assert_array_equal(cm_wiped, cm_fold)
+
+
+@pytest.mark.slow
+def test_export_cli_fold_defaults(tmp_path):
+    """Round-4 measured defaults (DESIGN §8/§9b): the export CLI folds BN
+    for fp artifacts (−14.6% model-stage HBM traffic, accuracy-free) and
+    ships UNFOLDED kernels for --quantize artifacts (folding coarsens the
+    int8 grid); --no_fold_bn/--fold_bn override."""
+    import json
+    import os
+
+    from cvm_tpu.cli.export import main as export_main
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16, class_weights=(1.0, 1.0, 1.0),
+                        batch_size=8, warmup_steps=1, total_steps=10)
+    ckdir = str(tmp_path / "ck")
+    tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=1, log_every=1)
+    tr.init_state()
+    pool = [synthetic_batch(np.random.default_rng(0), 8, (48, 48), num_classes=3)]
+    tr.fit(itertools.cycle(pool), 1)
+    tr.ckpt.wait()
+
+    def meta(out, *extra):
+        rc = export_main(["--model", "semseg", "--checkpoint_dir", ckdir,
+                          "--out", out, *extra])
+        assert rc == 0
+        with open(os.path.join(out, "artifact.json")) as f:
+            return json.load(f)
+
+    assert meta(str(tmp_path / "fp"))["fold_bn"] is True
+    assert meta(str(tmp_path / "q"), "--quantize", "int8")["fold_bn"] is False
+    assert meta(str(tmp_path / "fp_u"), "--no_fold_bn")["fold_bn"] is False
