@@ -121,7 +121,10 @@ def _lower_infer(spec_name, cfg, variant, rng, cpu_device=None, scope="e2e"):
 
         def fwd(v, xx):
             out = pipe._apply(v, xx, train=False)
-            return tuple(jnp.sum(t, dtype=jnp.float32) for t in out.values())
+            # tree.leaves: head outputs may nest lists (depth's multi-scale
+            # pyramid) or dicts (dmds motion fields).
+            return tuple(jnp.sum(t, dtype=jnp.float32)
+                         for t in jax.tree.leaves(out))
 
         return jax.jit(fwd).lower(pvars, x).compile()
 
