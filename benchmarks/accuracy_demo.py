@@ -56,13 +56,9 @@ def main(argv=None):
     parser.add_argument("--metrics", default=None)
     args = parser.parse_args(argv)
 
-    import jax
+    from cvm_tpu.utils.platform import apply_platform_env
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    apply_platform_env()  # honors CVM_PLATFORM=cpu; also sets the jit cache
 
     from cvm_tpu.data.synthetic import synthetic_batch
     from cvm_tpu.train.evaluate import evaluate_model

@@ -35,10 +35,36 @@ def synthetic_sample(
     hw: Tuple[int, int],
     num_classes: int = 3,
     max_objects: int = 8,
+    smooth_background: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """One scene: noise background + K colored class rectangles."""
+    """One scene: noise background + K colored class rectangles.
+
+    ``smooth_background`` replaces the per-pixel noise with the same noise
+    rendered at quarter resolution and bilinearly upsampled. Two-frame
+    (DMDS) batches need this: per-pixel noise decorrelates under ANY
+    subpixel resample, so the exact depth+motion reconstruction of frame
+    t+1 scores WORSE photometric error than "no motion" and the
+    unsupervised depth objective has no usable minimum (measured 2026-08-19:
+    exact-motion warp MSE 8.5e-4 vs zero-motion 7.1e-4 on noise; the order
+    flips decisively on piecewise-smooth texture, which is also the regime
+    real images live in). Default False keeps every other task's synthetic
+    data bit-identical.
+    """
     H, W = hw
-    img = rng.integers(60, 90, (H, W, 3)).astype(np.uint8)
+    if smooth_background:
+        # Wider contrast than the noise path (40-110 vs 60-90): the
+        # photometric gradient w.r.t. depth scales with local texture
+        # contrast, and the parallax shifts being disambiguated are <3 px.
+        hb, wb = max(H // 4, 2), max(W // 4, 2)
+        base = rng.integers(40, 110, (hb, wb, 3)).astype(np.uint8)
+        yy, xx = np.meshgrid(
+            np.linspace(0.0, hb - 1.0, H, dtype=np.float32),
+            np.linspace(0.0, wb - 1.0, W, dtype=np.float32),
+            indexing="ij",
+        )
+        img = _bilinear_np(base, xx, yy)
+    else:
+        img = rng.integers(60, 90, (H, W, 3)).astype(np.uint8)
     n = int(rng.integers(1, max_objects + 1))
     boxes = np.zeros((max_objects, 4), np.float32)
     classes = np.zeros((max_objects,), np.int32)
@@ -54,7 +80,25 @@ def synthetic_sample(
         x0 = int(rng.integers(0, max(W - bw, 1)))
         y0 = int(rng.integers(0, max(H - bh, 1)))
         c = int(rng.integers(0, num_classes))
-        img[y0 : y0 + bh, x0 : x0 + bw] = _CLASS_COLORS[c]
+        if smooth_background:
+            # Textured interiors (smooth luminance modulation of the class
+            # color): a flat patch carries zero parallax signal inside —
+            # any constant depth explains it — so two-frame scenes need
+            # texture ON the near objects, not just the background.
+            hb, wb = max(bh // 4, 2), max(bw // 4, 2)
+            lum = rng.uniform(0.55, 1.45, (hb, wb, 1)).astype(np.float32)
+            yy, xx = np.meshgrid(
+                np.linspace(0.0, hb - 1.0, bh, dtype=np.float32),
+                np.linspace(0.0, wb - 1.0, bw, dtype=np.float32),
+                indexing="ij",
+            )
+            lum255 = np.clip(lum * 170.0, 0, 255).astype(np.uint8)
+            mod = _bilinear_np(lum255, xx, yy).astype(np.float32) / 170.0
+            patch = _CLASS_COLORS[c].astype(np.float32) * mod
+            img[y0 : y0 + bh, x0 : x0 + bw] = np.clip(
+                np.round(patch), 0, 255).astype(np.uint8)
+        else:
+            img[y0 : y0 + bh, x0 : x0 + bw] = _CLASS_COLORS[c]
         boxes[k] = [x0, y0, x0 + bw, y0 + bh]
         classes[k] = c
         mask[y0 : y0 + bh, x0 : x0 + bw] = c
@@ -69,6 +113,20 @@ def synthetic_sample(
         "mask": mask,
         "depth": depth,
     }
+
+
+def _bilinear_np(img: np.ndarray, sx: np.ndarray, sy: np.ndarray) -> np.ndarray:
+    """Bilinear-sample an (H, W, C) uint8 image at float coords (sy, sx)."""
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, img.shape[1] - 1)
+    y1 = np.minimum(y0 + 1, img.shape[0] - 1)
+    wx = (sx - x0)[..., None]
+    wy = (sy - y0)[..., None]
+    f = img.astype(np.float32)
+    top = f[y0, x0] * (1.0 - wx) + f[y0, x1] * wx
+    bot = f[y1, x0] * (1.0 - wx) + f[y1, x1] * wx
+    return np.clip(np.round(top * (1.0 - wy) + bot * wy), 0, 255).astype(np.uint8)
 
 
 def synthetic_batch(
@@ -94,6 +152,7 @@ def synthetic_batch(
                             ("image", "image_hw", "boxes", "classes", "num_objects", "mask", "depth")}
     if two_frame:
         out["image_t1"] = []
+        out["ego_t"] = []  # GT camera translation (tx, ty) behind image_t1
     if with_3d:
         out["loc3d"] = []
         out["dims3d"] = []
@@ -109,7 +168,8 @@ def synthetic_batch(
         if yuv420:  # even valid extents keep the chroma planes aligned
             H -= H % 2
             W -= W % 2
-        s = synthetic_sample(rng, (H, W), num_classes, max_objects)
+        s = synthetic_sample(rng, (H, W), num_classes, max_objects,
+                             smooth_background=two_frame)
         s["image_hw"] = np.array([H, W], np.int32)
         img = np.zeros((Hm, Wm, 3), np.uint8)
         img[:H, :W] = s["image"]
@@ -137,10 +197,31 @@ def synthetic_batch(
             out["dims3d"].append(dims)
             out["rot_y"].append(rng.uniform(-np.pi, np.pi, k).astype(np.float32))
         if two_frame:
-            # Frame t+1: shift the scene a few px (simulated ego-motion).
-            dx, dy = int(rng.integers(-4, 5)), int(rng.integers(-2, 3))
-            img2 = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+            # Frame t+1 from a depth-consistent lateral ego-motion: a camera
+            # translating by (tx, ty) meters moves a pixel observing depth Z
+            # by (fx*tx/Z, fy*ty/Z) px — near structure moves farther than
+            # the distant background, so the photometric loss identifies the
+            # scene's (scale-free) depth. The earlier uniform np.roll shift
+            # was depth-independent: any depth map explained it, and the
+            # median-scaled depth eval on this data read pure noise
+            # (delta1 ~0.2, dmds_acc 2026-08-19).
+            fx = fy = 0.9 * W  # must match the intrinsics emitted below
+            tx = float(rng.uniform(0.10, 0.28)) * (1.0 if rng.random() < 0.5 else -1.0)
+            ty = float(rng.uniform(-0.06, 0.06))
+            inv_z = 1.0 / np.maximum(s["depth"], 0.5)
+            yy, xx = np.meshgrid(np.arange(H, dtype=np.float32),
+                                 np.arange(W, dtype=np.float32), indexing="ij")
+            # Inverse warp: the frame-t+1 pixel p samples frame t at
+            # p + f*t/Z(p). Z is taken at the TARGET pixel — exact for this
+            # piecewise-constant scene away from occlusion edges. Bilinear
+            # sampling keeps the generative process inside the model family
+            # (ops/warp.py uses bilinear sampling too).
+            src_x = np.clip(xx + fx * tx * inv_z, 0.0, W - 1.0)
+            src_y = np.clip(yy + fy * ty * inv_z, 0.0, H - 1.0)
+            img2 = np.zeros((Hm, Wm, 3), np.uint8)
+            img2[:H, :W] = _bilinear_np(s["image"], src_x, src_y)
             out["image_t1"].append(img2)
+            out["ego_t"].append(np.array([tx, ty], np.float32))
         if two_frame or with_3d:
             out["intrinsics"].append(
                 np.array([0.9 * W, 0.9 * W, W / 2.0, H / 2.0], np.float32)
