@@ -434,8 +434,24 @@ class Trainer:
         stall_s = float(__import__("os").environ.get("CVM_STALL_THRESHOLD_S", "120"))
 
         def _watch():
-            while not done.wait(min(30.0, stall_s / 2)):
-                quiet = time.monotonic() - heartbeat[0]
+            interval = min(30.0, stall_s / 2)
+            last_wake = time.monotonic()
+            while not done.wait(interval):
+                now = time.monotonic()
+                # Suspension detection: if THIS thread overslept its own
+                # wait by a lot, the whole process was SIGSTOPped (the
+                # measurement queue pauses host-heavy trainers during
+                # timing windows) or the host froze. Wall-clock quiet
+                # accumulated while suspended says nothing about the
+                # device — swallowing it prevents a spurious auto-restart
+                # on SIGCONT (observed: a paused CPU run reported "device/
+                # backend looks stalled" after resume, 2026-08-19).
+                if now - last_wake > interval + stall_s / 2:
+                    heartbeat[0] = now
+                    last_wake = now
+                    continue
+                last_wake = now
+                quiet = now - heartbeat[0]
                 threshold = stall_s if heartbeat[1] else 1800.0
                 if quiet <= threshold:
                     continue

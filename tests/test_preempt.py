@@ -134,3 +134,55 @@ def test_max_seconds_budget_stops_cleanly(tmp_path, capsys):
     assert "preempted at step" in out
     step = CheckpointManager(os.path.join(wd, "checkpoints")).latest_step()
     assert step is not None and 0 < step < 1000000
+
+
+def test_sigstop_pause_does_not_trigger_auto_restart(tmp_path):
+    """The measurement queue SIGSTOPs host-heavy trainers during timing
+    windows. Wall-clock quiet accumulated while suspended says nothing about
+    the device, so the stall watchdog must NOT count it: before the
+    suspension-detection fix, a paused run with --auto_restart re-exec'd
+    itself on SIGCONT (wasting the restart budget and a compile). The child
+    here runs with a 10 s stall threshold, is paused for 20 s mid-training,
+    and must finish all steps with zero restarts."""
+    wd = str(tmp_path / "wd")
+    metrics = os.path.join(wd, "metrics.jsonl")
+    cmd = _train_cmd(wd, steps=60) + ["--auto_restart", "2"]
+    env = _child_env()
+    env["CVM_STALL_THRESHOLD_S"] = "10"
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=_REPO,
+    )
+    import threading
+
+    out_lines = []
+    drain = threading.Thread(
+        target=lambda: [out_lines.append(l) for l in proc.stdout], daemon=True)
+    drain.start()
+    try:
+        deadline = time.monotonic() + 900
+        while time.monotonic() < deadline:
+            if os.path.exists(metrics) and len(open(metrics).readlines()) >= 2:
+                break
+            if proc.poll() is not None:
+                pytest.fail(f"trainer died early:\n{''.join(out_lines)}")
+            time.sleep(1.0)
+        else:
+            pytest.fail("trainer never started stepping before the deadline")
+        # Suspend well past the 10 s stall threshold, then resume.
+        proc.send_signal(signal.SIGSTOP)
+        time.sleep(20.0)
+        proc.send_signal(signal.SIGCONT)
+        proc.wait(timeout=600)
+        drain.join(timeout=30)
+        out = "".join(out_lines)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+
+    assert proc.returncode == 0, f"expected clean finish, got:\n{out}"
+    assert "re-exec'ing" not in out, f"spurious auto-restart after SIGCONT:\n{out}"
+    assert "done:" in out, out
+    steps_logged = [json.loads(ln)["step"] for ln in open(metrics)]
+    assert max(steps_logged) == 60, steps_logged
