@@ -10,6 +10,12 @@ Round-1 results on v5e-1 (held-out synthetic scenes):
     multitask  2000 steps / 751 s : mAP 0.692 / mIoU 0.931 / delta1 0.80
     dmds       1500 steps / 587 s : photometric 1.41 -> 0.79 (scale-free toy
                                     motion; geometry pinned by the pose test)
+
+NOTE (2026-08-19): synthetic_batch scenes do not carry enough parallax signal
+for DMDS to recover depth (delta1 ~0.1-0.2 even with depth-consistent motion)
+— the photometric trend above is meaningful, the dmds depth metrics are not.
+For a real DMDS delta1 use benchmarks/dmds_accuracy.py (KITTI-raw parallax
+data, the e2e leg-5 recipe; delta1 0.56 after 250 CPU steps at 64 px).
 """
 
 import argparse
@@ -54,6 +60,11 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=2000)
     parser.add_argument("--pool", type=int, default=40, help="distinct train batches cycled")
     parser.add_argument("--metrics", default=None)
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="override the demo config's batch size")
+    parser.add_argument("--input_hw", type=int, default=None,
+                        help="override the square model input size (a CPU "
+                             "probe at 64 is ~8x cheaper than the TPU demo's 128)")
     args = parser.parse_args(argv)
 
     from cvm_tpu.utils.platform import apply_platform_env
@@ -65,12 +76,17 @@ def main(argv=None):
     from cvm_tpu.train.loop import Trainer
 
     spec, p = make_params(args.model)
+    if args.batch_size:
+        p = p.replace(batch_size=args.batch_size)
+    if args.input_hw:
+        p = p.replace(input_hw=(args.input_hw, args.input_hw))
+    scene = max(p.input_hw[0] * 3 // 2, p.input_hw[0] + 32)
     two_frame = args.model == "dmds"
     with_3d = args.model == "centernet3d"
     trainer = Trainer(spec, p, metrics_path=args.metrics, log_every=100)
     rng = np.random.default_rng(0)
     pool = [
-        synthetic_batch(rng, p.batch_size, (192, 192), num_classes=3, max_objects=8,
+        synthetic_batch(rng, p.batch_size, (scene, scene), num_classes=3, max_objects=8,
                         two_frame=two_frame, with_3d=with_3d)
         for _ in range(args.pool)
     ]
@@ -82,7 +98,7 @@ def main(argv=None):
 
     variables = {"params": trainer.eval_params, "batch_stats": trainer.state.batch_stats}
     val = [
-        synthetic_batch(np.random.default_rng(123), 16, (192, 192), num_classes=3,
+        synthetic_batch(np.random.default_rng(123), 16, (scene, scene), num_classes=3,
                         max_objects=8, two_frame=two_frame, with_3d=with_3d)
         for _ in range(8)
     ]

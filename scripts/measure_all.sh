@@ -16,7 +16,7 @@
 #   2. w8a8_bench ablation             (bf16/fold_bn/w8a8_static/+both, HBM bytes)
 #   3. cli.benchmark A-E infer         (replace stale round-1 table)
 #   4. cli.benchmark B --train         (post fp32-heads-fix, post relay-aware fit)
-#   5. accuracy_demo dmds              (median-scaled delta1 for config E)
+#   5. dmds_accuracy (KITTI-raw)       (median-scaled delta1 for config E)
 set -uo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
@@ -136,7 +136,10 @@ done
 run "w8a8_ablation" 600 benchmarks/w8a8_bench.py --iters 20
 run "infer_AE" 600 -m cvm_tpu.cli.benchmark --configs A,B,C,D,E --iters 20
 run "train_B" 600 -m cvm_tpu.cli.benchmark --configs B --train --iters 20
-run "dmds_accuracy" 900 benchmarks/accuracy_demo.py --model dmds --steps 1500
+# KITTI-raw parallax data (e2e leg-5 recipe at on-chip scale): synthetic_batch
+# scenes cannot teach depth-from-motion (delta1 ~0.1-0.2 measured 2026-08-19),
+# the gen_kitti_raw parallax scenes can (delta1 0.56 in 250 CPU steps).
+run "dmds_accuracy" 900 benchmarks/dmds_accuracy.py --steps 1500
 
 # Step 6 (VERDICT r3 #5): the flagship 512x512 train-to-eval accuracy run.
 # Normally OWNED by scripts/flagship_persist.sh (ungated, resumes across
