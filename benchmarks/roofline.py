@@ -1,11 +1,21 @@
 """Static roofline analysis of the benchmark surface — no execution needed.
 
 Lowers + compiles each BASELINE config's e2e program (and the serving-variant
-ablation: BN-fold / dynamic W8A8 / static W8A8 / fold+static) and reads XLA's
-own cost analysis — FLOPs and bytes-accessed per execution — then places each
-program on the target chip's roofline: compute floor, bandwidth floor,
-arithmetic intensity, bound-ness, and the throughput/MFU *ceiling* no honest
-measurement can exceed.
+ablation: BN-fold / dynamic W8A8 / static W8A8 / fold+static), reads XLA's
+cost analysis for FLOPs, and estimates HBM traffic two ways:
+
+- ``bytes_gb`` (basis ``hlo_dataflow``): fusion-aware dataflow through the
+  optimized module's entry computation — operand+output bytes at scheduled-
+  instruction boundaries only. This drives the roofline placement.
+- ``bytes_gb_op_sum``: XLA cost analysis "bytes accessed", which sums over
+  every instruction INCLUDING fusion-internal ones whose intermediates never
+  leave VMEM — a fusion-blind upper bound (measured 4.6x the dataflow number
+  on the TPU-lowered e2e CenterNet program, and its implied "floor" exceeded
+  the actually measured latency). Kept for reference only.
+
+Each program is then placed on the target chip's roofline: compute floor,
+bandwidth floor, arithmetic intensity, bound-ness, and the throughput/MFU
+*ceiling* no honest measurement can exceed.
 
 Why this exists (DESIGN.md §9, VERDICT r3 #4): the measured MFU-gap ablation
 needs a healthy TPU tunnel, which has been degraded for multi-hour windows.
@@ -31,6 +41,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 import numpy as np
@@ -56,6 +67,121 @@ def _cost(compiled) -> tuple:
         ca = ca[0] if ca else {}
     return (float(ca.get("flops", 0.0) or 0.0),
             float(ca.get("bytes accessed", 0.0) or 0.0))
+
+
+# --- fusion-aware HBM-traffic estimate from optimized HLO text -------------
+#
+# XLA's module-level cost analysis sums operand+output bytes over EVERY HLO
+# instruction, including those inside fusion computations whose intermediates
+# never leave VMEM/registers — measured 2026-08-19 on the TPU-lowered e2e
+# CenterNet program: 14.5 GB op-sum vs 3.1 GB of actual entry-level dataflow
+# (the op-sum "bandwidth floor" of 17.7 ms was above the *measured* 7.62 ms,
+# which is physically impossible for a floor). The estimator below counts
+# traffic only at fusion/op boundaries in the entry computation (and in
+# computations reached via call/while/etc.), which is what actually moves
+# through HBM: per scheduled instruction, bytes = sum(operand buffer sizes)
+# + output size. Fusion bodies are skipped; scalar to_apply lambdas of
+# reduce/scatter contribute ~nothing. A `while` body is counted ONCE (trip
+# count is not recoverable from the text) and flagged in the caveat.
+
+_HLO_DTYPE_BYTES = {
+    "pred": 1, "u8": 1, "s8": 1, "f8e4m3fn": 1, "f8e5m2": 1,
+    "u16": 2, "s16": 2, "f16": 2, "bf16": 2,
+    "u32": 4, "s32": 4, "f32": 4,
+    "u64": 8, "s64": 8, "f64": 8, "c64": 8, "c128": 16,
+}
+_HLO_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_HLO_INSTR_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?(%[\w.\-]+)\s*=\s*(.+?)\s+([\w\-]+)\((.*)$")
+# Zero-traffic ops: aliases/metadata (bitcast, tuple plumbing), and the
+# second half of async pairs (the -start op carries the transfer).
+_HLO_NO_TRAFFIC = {
+    "bitcast", "tuple", "get-tuple-element", "parameter", "constant",
+    "after-all", "copy-done", "async-done", "reshape",
+}
+_HLO_CALLERS = {"call", "while", "conditional", "sort", "map", "reduce",
+                "reduce-window", "scatter", "select-and-scatter", "fusion"}
+
+
+def _hlo_type_bytes(type_str: str) -> int:
+    total = 0
+    for dtype, dims in _HLO_SHAPE_RE.findall(type_str):
+        if dtype not in _HLO_DTYPE_BYTES:
+            continue  # token[...] that isn't an array type
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _HLO_DTYPE_BYTES[dtype]
+    return total
+
+
+def hlo_dataflow_bytes(hlo_text: str):
+    """(bytes, caveat) — entry-level dataflow traffic of an optimized module.
+
+    Returns (None, reason) if the text can't be parsed into an entry
+    computation (defensive: HLO text format is not a stable API).
+    """
+    defs = {}          # %name -> output buffer bytes
+    comps = {}         # computation name -> [(op, out_bytes, operands, calls)]
+    fusion_comps = set()
+    entry = None
+    cur = None
+    for line in hlo_text.splitlines():
+        if not line.startswith(" ") and "{" in line and "=" not in line.split("{")[0]:
+            cur = line.split("(")[0].replace("ENTRY", "").strip().lstrip("%")
+            comps[cur] = []
+            if line.startswith("ENTRY"):
+                entry = cur
+            continue
+        m = _HLO_INSTR_RE.match(line)
+        if m is None or cur is None:
+            continue
+        name, type_str, op, rest = m.groups()
+        out_bytes = _hlo_type_bytes(type_str)
+        defs[name] = out_bytes
+        # operand list = %names inside the first balanced paren group;
+        # computation refs (calls=/body=/condition=/to_apply=/branch lists)
+        # are every %name after it
+        depth, split_at = 1, len(rest)
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    split_at = i
+                    break
+        operands = re.findall(r"%[\w.\-]+", rest[:split_at])
+        calls = [c.lstrip("%")
+                 for c in re.findall(r"%[\w.\-]+", rest[split_at:])]
+        if op == "fusion":
+            fusion_comps.update(calls)
+        comps[cur].append((op, out_bytes, operands, calls))
+    if entry is None or not comps.get(entry):
+        return None, "hlo parse: no entry computation"
+    total = 0
+    has_while = False
+    visited = set()
+    stack = [entry]
+    while stack:
+        comp = stack.pop()
+        if comp in visited or comp not in comps:
+            continue
+        visited.add(comp)
+        for op, out_bytes, operands, calls in comps[comp]:
+            if op in _HLO_NO_TRAFFIC:
+                continue
+            if op == "while":
+                has_while = True
+            if op in _HLO_CALLERS and op != "fusion":
+                stack.extend(c for c in calls if c not in fusion_comps)
+                if op == "call":
+                    continue  # the call itself moves nothing; its body does
+            total += out_bytes + sum(defs.get(o, 0) for o in operands)
+    caveat = ("hlo_dataflow: while body counted once (trip count unknown)"
+              if has_while else None)
+    return total, caveat
 
 
 def _lower_infer(spec_name, cfg, variant, rng, cpu_device=None, scope="e2e"):
@@ -254,15 +380,32 @@ def main(argv=None):
                 compiled = _lower_infer(spec_name, cfg, variant, rng,
                                         cpu_device=cpu_device,
                                         scope=args.scope)
-            flops, bytes_acc = _cost(compiled)
+            flops, bytes_op_sum = _cost(compiled)
+            try:
+                df_bytes, df_caveat = hlo_dataflow_bytes(compiled.as_text())
+            except Exception as e:  # text format drift must not kill the run
+                df_bytes, df_caveat = None, f"hlo parse failed: {e}"
+            # The dataflow estimate drives the roofline when available — the
+            # op-sum counts fusion-internal bytes that never touch HBM and
+            # has produced "floors" above measured times (see estimator note).
+            bytes_acc = df_bytes if df_bytes else bytes_op_sum
+            caveats = [c for c in (
+                ("cpu-lowered HLO: fusion/layout differ from TPU — bytes "
+                 "approximate" if backend == "cpu" else None),
+                df_caveat if df_bytes else None,
+                (None if df_bytes else
+                 "op-sum bytes only (fusion-blind upper bound)"),
+            ) if c]
             row = {"config": key, "model": spec_name, "mode": mode,
                    "scope": args.scope if mode == "infer" else "train_step",
                    "variant": variant, "input_hw": list(cfg.input_hw),
                    "batch_size": cfg.batch_size, "chip": args.chip,
                    "lowering_backend": backend,
-                   "bytes_caveat": ("cpu-lowered HLO: fusion/layout differ "
-                                    "from TPU — bytes approximate"
-                                    if backend == "cpu" else None)}
+                   "bytes_basis": ("hlo_dataflow" if df_bytes
+                                   else "cost_analysis_op_sum"),
+                   "bytes_gb_op_sum": (round(bytes_op_sum / 1e9, 4)
+                                       if bytes_op_sum else None),
+                   "bytes_caveat": "; ".join(caveats) or None}
             row.update(roofline_row(flops, bytes_acc, cfg.batch_size,
                                     args.chip, int8=("w8a8" in variant)))
             print(json.dumps(row), flush=True)
