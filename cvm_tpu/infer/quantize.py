@@ -242,6 +242,15 @@ def _int8_conv_static(mod: "nn.Conv", x, sx: float):
     sw = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1))) / 127.0 + 1e-12
     wq = jnp.round(jnp.clip(kf / sw, -127, 127)).astype(jnp.int8)
 
+    # int32 accumulator output, DELIBERATELY: the s32 result buffer (plus a
+    # layout copy XLA cannot fuse through) costs 540 MB/batch of extra HBM
+    # traffic on the 512f b8 serving program (forward dataflow 2.69 GB vs
+    # bf16's 1.58, runs/roofline_tpu.json), and preferred_element_type=
+    # bfloat16 removes it (2.69 -> 2.13 GB) — but the bf16 rounding of the
+    # accumulated preactivation was MEASURED to cost 1.8 mAP on the flagship
+    # 512f checkpoint (0.8962 -> 0.8778, runs/acc512_bf16acc/, 2026-08-19),
+    # so the byte saving is rejected. This is part of why static W8A8 loses
+    # to weight-only int8 on this memory-bound program (DESIGN.md §9b).
     y = lax.conv_general_dilated(
         xq, wq, preferred_element_type=jnp.int32, **conv_geometry(mod),
     )

@@ -168,16 +168,20 @@ def sample_bilinear(
     out_h, out_w = out_hw
     H, W = image.shape[0], image.shape[1]
     vh, vw = (H, W) if valid_hw is None else valid_hw
-    img = image.astype(jnp.float32)
 
     ylo, yhi, fy, in_y = _axis_coords(out_h, roi.dst_y0, roi.dst_h, roi.src_y0, roi.src_h, vh)
     xlo, xhi, fx, in_x = _axis_coords(
         out_w, roi.dst_x0, roi.dst_w, roi.src_x0, roi.src_w, vw, flip=roi.flip_x
     )
 
-    # Rows first (gather along H), then columns.
-    rows_lo = jnp.take(img, ylo, axis=0)
-    rows_hi = jnp.take(img, yhi, axis=0)
+    # Rows first (gather along H), then columns. Gather in the SOURCE dtype
+    # and convert the gathered rows — indexing commutes with conversion, so
+    # the values are bit-identical to converting first, but a uint8 source is
+    # read at 1 byte/px instead of materializing a full-resolution f32 copy
+    # (XLA kept one alive to feed both row gathers — 4x the source bytes on
+    # the serving program's HBM-bound preprocess, runs/roofline_tpu.json).
+    rows_lo = jnp.take(image, ylo, axis=0).astype(jnp.float32)
+    rows_hi = jnp.take(image, yhi, axis=0).astype(jnp.float32)
     rows = rows_lo + (rows_hi - rows_lo) * fy[:, None, None]
     cols_lo = jnp.take(rows, xlo, axis=1)
     cols_hi = jnp.take(rows, xhi, axis=1)
