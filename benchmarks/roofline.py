@@ -128,7 +128,12 @@ def hlo_dataflow_bytes(hlo_text: str):
     entry = None
     cur = None
     for line in hlo_text.splitlines():
-        if not line.startswith(" ") and "{" in line and "=" not in line.split("{")[0]:
+        # computation header: a top-level line opening a body brace, e.g.
+        # "%fused_computation.1 (p0: f32[4]) -> f32[4] {" or
+        # "ENTRY %main.30 (a: f32[], /*index=5*/ b: f32[]) -> f32[] {"
+        # (the /*index=N*/ markers mean the segment before the brace can
+        # contain '=' — match on the trailing brace, not on '=' absence)
+        if not line.startswith(" ") and line.rstrip().endswith("{"):
             cur = line.split("(")[0].replace("ENTRY", "").strip().lstrip("%")
             comps[cur] = []
             if line.startswith("ENTRY"):
