@@ -17,6 +17,7 @@ import argparse
 import json
 import os
 import re
+import shutil
 import sys
 import time
 from typing import Any, Dict, List
@@ -47,6 +48,13 @@ def parse_log(path: str) -> Dict[str, Any]:
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", default="runs/measure")
+    parser.add_argument(
+        "--snapshot", nargs="?", const="benchmarks/data/results", default=None,
+        help="also mirror RESULTS.json/.md (plus flagship metrics files) "
+             "into this git-TRACKED directory. runs/ is gitignored AND "
+             "ephemeral — the 2026-08-20 workspace reset destroyed every "
+             "on-disk artifact of the 2026-08-19 captures; evidence that "
+             "is not committed does not survive a round boundary.")
     args = parser.parse_args(argv)
     out = args.out
     if not os.path.isdir(out):
@@ -111,6 +119,22 @@ def main(argv=None):
     print(f"wrote {out}/RESULTS.json and RESULTS.md "
           f"({len(steps)} steps, "
           f"{sum(1 for p in steps.values() if p['ok'])} ok)")
+
+    if args.snapshot:
+        snap = args.snapshot
+        os.makedirs(snap, exist_ok=True)
+        for name in ("RESULTS.json", "RESULTS.md"):
+            shutil.copy2(os.path.join(out, name), os.path.join(snap, name))
+        # Flagship training curves + kept-best evals are the accuracy-tier
+        # evidence PARITY.md cites — mirror the small files whole.
+        for src in sorted(_glob.glob("runs/flagship*/metrics.jsonl")) + sorted(
+                _glob.glob("runs/flagship*/best/best.json")):
+            rel = src.replace("runs/", "").replace("/", "_")
+            shutil.copy2(src, os.path.join(snap, rel))
+        for src in sorted(_glob.glob("runs/roofline*.json")):
+            shutil.copy2(src, os.path.join(snap, os.path.basename(src)))
+        print(f"snapshot mirrored into {snap}/ (commit it: evidence under "
+              f"runs/ does not survive a workspace reset)")
     return 0
 
 

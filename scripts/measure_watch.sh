@@ -102,6 +102,9 @@ while true; do
     continue
   fi
   ensure_flagship
+  # Mirror whatever evidence exists into the git-tracked snapshot dir every
+  # cycle (cheap log parse): runs/ is ephemeral across workspace resets.
+  python scripts/collect_results.py --out "$OUT" --snapshot >/dev/null 2>&1 || true
   ms="$(probe_ms || true)"
   ms="${ms:-inf}"
   echo "$(date -Is) probe=${ms} ms/dispatch" | tee -a runs/PROBE_LAST
@@ -119,9 +122,13 @@ except ValueError:
     # measure_all.sh holds runs/MEASURING per STEP (its own pid + trap
     # cleanup), so the driver's bench.py waits out a step, not the session.
     if MEASURE_OUT="$OUT" bash scripts/measure_all.sh; then
+      python scripts/collect_results.py --out "$OUT" --snapshot || true
       echo "$(date -Is) ALL steps captured — watcher done"
       exit 0
     fi
+    # Partial evidence is still evidence: mirror whatever landed into the
+    # git-tracked snapshot dir so a workspace reset cannot destroy it.
+    python scripts/collect_results.py --out "$OUT" --snapshot || true
     echo "$(date -Is) some steps FAILED (window closed?) — will retry"
   elif [[ "$tier" == "compile" && ! -e "$OUT/roofline_tpu.ok" ]]; then
     # Alive-but-degraded window: timing is garbage but compile RPCs serve.
