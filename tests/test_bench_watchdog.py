@@ -18,7 +18,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
 
-def _run_bench(env_extra, timeout=150):
+def _run_bench(env_extra, timeout=480):
+    # Generous vs the fake-probe fast path (seconds): when the suite runs
+    # under scripts/host_heavy.sh, a live watcher probe SIGSTOPs pytest for
+    # up to ~3 min while this child's wall clock keeps running — a tight
+    # timeout here reads that external pause as a bench hang (flaked
+    # 2026-08-20 at timeout=150).
     env = dict(os.environ)
     env.update(env_extra)
     # The subprocess must not inherit a TPU pin; CPU keeps it hermetic.
