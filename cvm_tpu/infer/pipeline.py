@@ -78,6 +78,7 @@ class InferencePipeline:
         mesh=None,
         input_format: str = "rgb",
         w8a8: bool = False,
+        w8a8_fused: bool = False,
         fold_bn: bool = False,
         tta: str = "none",
     ):
@@ -111,7 +112,17 @@ class InferencePipeline:
                 "w8a8 scales dict is empty — calibration produced no "
                 "per-conv scales; refusing to silently serve fp as 'int8'"
             )
-        if isinstance(w8a8, dict):
+        if isinstance(w8a8, dict) and w8a8_fused:
+            # Fused Pallas W8A8: each eligible ConvBN body (quantize + int8
+            # MXU dot + BN/act epilogue) runs VMEM-resident — byte-parity
+            # with bf16 where the XLA-composed static path added 70-125%
+            # HBM traffic (DESIGN.md §9b).
+            from cvm_tpu.infer.quantize import w8a8_fused_inference
+
+            def apply_fn(*a, **kw):
+                with w8a8_fused_inference(w8a8):
+                    return base_apply(*a, **kw)
+        elif isinstance(w8a8, dict):
             # Static-calibrated W8A8: elementwise quantize with fixed scales
             # fuses into conv epilogues → int8-resident activations.
             from cvm_tpu.infer.quantize import w8a8_static_inference

@@ -280,6 +280,99 @@ def w8a8_static_inference(scales: Dict[str, float]):
         yield
 
 
+# ---------------------------------------------------------------------------
+# Fused W8A8 (Pallas kernel path).
+#
+# w8a8_static_inference above composes the int8 path from XLA ops; the
+# lowered program materializes the s32 accumulator + f32 dequant/requant
+# chain between convs, measured to ADD 70-125% HBM traffic (DESIGN.md §9b).
+# This interceptor instead replaces each eligible ConvBN BODY (conv + BN
+# inference affine + activation) with ops/pallas/fused_qconv.py: quantize,
+# int8 MXU dot, dequant/BN/act epilogue — all VMEM-resident, so HBM sees
+# bf16 in / int8 weights / bf16 out, byte-parity with the bf16 conv.
+# Numerics match w8a8_static_inference (same per-channel weight grid, same
+# static activation lattice; BN runs exactly in fp32 inside the epilogue).
+# ---------------------------------------------------------------------------
+
+
+def _fused_convbn(mod, x, sx: float, int8_dot: bool, interpret: bool):
+    from cvm_tpu.ops.pallas.fused_qconv import fused_qconv
+
+    if mod.act is None:
+        act = None
+    elif mod.act is nn.silu:
+        act = "silu"
+    elif mod.act is nn.relu:
+        act = "relu"
+    else:
+        return None  # unknown activation — serve the fp path
+
+    params = mod.variables["params"]
+    kf = jnp.asarray(params["conv"]["kernel"], jnp.float32)
+    sw = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1))) / 127.0 + 1e-12
+    wq = jnp.round(jnp.clip(kf / sw, -127, 127)).astype(jnp.int8)
+
+    if mod.use_bn:
+        bnp = params["bn"]
+        stats = mod.variables["batch_stats"]["bn"]
+        # flax default epsilon — kept in sync with ConvBN (models/layers.py)
+        a = jnp.asarray(bnp["scale"], jnp.float32) * jax.lax.rsqrt(
+            jnp.asarray(stats["var"], jnp.float32) + 1e-5)
+        b = jnp.asarray(bnp["bias"], jnp.float32) - jnp.asarray(
+            stats["mean"], jnp.float32) * a
+    else:
+        a = jnp.ones((kf.shape[-1],), jnp.float32)
+        bias = params["conv"].get("bias")
+        b = (jnp.asarray(bias, jnp.float32) if bias is not None
+             else jnp.zeros((kf.shape[-1],), jnp.float32))
+
+    y = fused_qconv(
+        x, wq, scale=float(sx) * sw * a, bias=b,
+        inv_sx=1.0 / float(sx), act=act, int8_dot=int8_dot,
+        out_dtype=mod.dtype or jnp.bfloat16, interpret=interpret,
+    )
+    return y
+
+
+@contextlib.contextmanager
+def w8a8_fused_inference(scales: Dict[str, float], int8_dot: bool = True,
+                         interpret: bool = None):
+    """Every stride-1 1x1/3x3 ConvBN whose inner conv has a calibrated
+    scale runs the fused Pallas int8 kernel; everything else (stem,
+    strided convs, heads, uncalibrated convs) serves fp. Scales use the
+    same {conv_module_path: sx} dict as w8a8_static_inference.
+    interpret=None auto-selects the Pallas interpreter off-TPU (CPU CI)."""
+    from cvm_tpu.models.layers import ConvBN
+    from cvm_tpu.utils.backend import is_tpu_backend
+
+    if interpret is None:
+        interpret = not is_tpu_backend()
+
+    def interceptor(next_fn, args, kwargs, context):
+        mod = context.module
+        if isinstance(mod, ConvBN) and context.method_name == "__call__":
+            train = kwargs.get("train", args[1] if len(args) > 1 else False)
+            path = _module_path(context)
+            sx = scales.get(path + "/conv" if path else "conv")
+            if (
+                not train
+                and sx is not None
+                and mod.stride == 1
+                and mod.kernel in (1, 3)
+                and mod.spatial_mesh is None
+            ):
+                try:
+                    y = _fused_convbn(mod, args[0], sx, int8_dot, interpret)
+                except (KeyError, TypeError, AssertionError):
+                    y = None
+                if y is not None:
+                    return y
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        yield
+
+
 def quantization_error(params: Any, qparams: Any) -> float:
     """Max relative Frobenius error across quantized tensors (sanity metric)."""
     errs = []

@@ -1,0 +1,160 @@
+"""Fused W8A8 Pallas conv: kernel vs quantized oracle, interceptor vs fp.
+
+The kernel (ops/pallas/fused_qconv.py) replaces the XLA-composed static
+W8A8 path whose s32/f32 inter-conv buffers added 70-125% HBM traffic
+(DESIGN.md §9b). CPU CI runs the Pallas interpreter; the int8 lattice math
+is exact, so the kernel is checked against a float64 oracle, and the
+ConvBN-level interceptor against the fp forward with the same tolerances
+the static path meets.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvm_tpu.infer.pipeline import InferencePipeline
+from cvm_tpu.infer.quantize import (
+    calibrate_activation_scales,
+    w8a8_fused_inference,
+)
+from cvm_tpu.data.synthetic import synthetic_batch
+from cvm_tpu.models import get_model
+from cvm_tpu.ops.pallas.fused_qconv import fused_qconv
+
+
+def _oracle(x, wq, scale, bias, sx, act):
+    xq = np.round(np.clip(x.astype(np.float64) / sx, -127, 127))
+    B, H, W, _ = x.shape
+    kh, kw, _, _ = wq.shape
+    pad = kh // 2
+    xp = np.pad(xq, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    y = 0
+    for dy in range(kh):
+        for dx in range(kw):
+            y = y + np.einsum(
+                "bhwc,cn->bhwn",
+                xp[:, dy:dy + H, dx:dx + W],
+                wq[dy, dx].astype(np.float64),
+            )
+    y = y * scale.astype(np.float64) + bias.astype(np.float64)
+    if act == "silu":
+        y = y / (1.0 + np.exp(-y))
+    elif act == "relu":
+        y = np.maximum(y, 0.0)
+    return y
+
+
+@pytest.mark.parametrize(
+    "kh,B,H,W,cin,cout,act",
+    [
+        (1, 2, 8, 16, 32, 64, "silu"),
+        (3, 2, 16, 20, 32, 64, "silu"),   # W not a multiple of the lane tile
+        (3, 1, 32, 48, 16, 256, None),    # Cout > 128 exercises N tiling
+        (3, 1, 8, 96, 8, 32, "relu"),     # W > 4096/bh forces small bh
+    ],
+)
+def test_kernel_matches_quantized_oracle(kh, B, H, W, cin, cout, act):
+    rng = np.random.default_rng(kh * 1000 + cout)
+    x = rng.normal(0, 1, (B, H, W, cin)).astype(np.float32)
+    wq = rng.integers(-127, 128, (kh, kh, cin, cout)).astype(np.int8)
+    scale = (rng.uniform(0.5, 2, (cout,)) * 1e-3).astype(np.float32)
+    bias = rng.normal(0, 0.1, (cout,)).astype(np.float32)
+    sx = 0.021
+    ref = _oracle(x, wq, scale, bias, sx, act)
+    got = np.asarray(
+        fused_qconv(
+            jnp.asarray(x), jnp.asarray(wq), jnp.asarray(scale),
+            jnp.asarray(bias), inv_sx=1.0 / sx, act=act, int8_dot=True,
+            out_dtype=jnp.float32, interpret=True,
+        ),
+        np.float64,
+    )
+    # int8 x int8 -> int32 lattice math is exact; only the f32 epilogue rounds.
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    # bf16-lattice fallback mode: same lattice values, f32 accumulation —
+    # tiny rounding of the (exact-in-int32) sums only.
+    got_bf = np.asarray(
+        fused_qconv(
+            jnp.asarray(x), jnp.asarray(wq), jnp.asarray(scale),
+            jnp.asarray(bias), inv_sx=1.0 / sx, act=act, int8_dot=False,
+            out_dtype=jnp.float32, interpret=True,
+        ),
+        np.float64,
+    )
+    np.testing.assert_allclose(got_bf, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_fused_interceptor_matches_fp(rng, monkeypatch):
+    """Semseg tiny: the fused path serves logits close to fp, and the
+    interceptor genuinely fires (guards against a vacuous fallback pass)."""
+    import cvm_tpu.infer.quantize as qz
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16)
+    model = spec.create_model(p)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    cal = [jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+           for _ in range(2)]
+    scales = calibrate_activation_scales(
+        lambda x: model.apply(variables, x, train=False), cal)
+
+    fired = []
+    real = qz._fused_convbn
+
+    def counting(*a, **kw):
+        y = real(*a, **kw)
+        if y is not None:
+            fired.append(1)
+        return y
+
+    monkeypatch.setattr(qz, "_fused_convbn", counting)
+
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    out_fp = model.apply(variables, x, train=False)
+    with w8a8_fused_inference(scales, interpret=True):
+        out_q = model.apply(variables, x, train=False)
+    assert len(fired) >= 4, f"fused kernel fired on only {len(fired)} convs"
+
+    pf = np.asarray(jax.nn.softmax(out_fp["logits"]))
+    pq = np.asarray(jax.nn.softmax(out_q["logits"]))
+    assert np.abs(pf - pq).mean() < 0.05
+    agree = (pf.argmax(-1) == pq.argmax(-1)).mean()
+    assert agree > 0.9, f"class agreement {agree}"
+
+
+def test_fused_pipeline_end_to_end(rng):
+    spec = get_model("centernet")
+    p = spec.params_cls(input_hw=(64, 64), num_classes=3, backbone="tiny",
+                        neck_features=32, head_features=16, top_k=10)
+    model = spec.create_model(p)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    cal = [jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))]
+    scales = calibrate_activation_scales(
+        lambda x: model.apply(variables, x, train=False), cal)
+    batch = synthetic_batch(np.random.default_rng(0), 2, (96, 96), num_classes=3)
+    pipe_fp = InferencePipeline(spec, p, variables)
+    pipe_q = InferencePipeline(spec, p, variables, w8a8=scales, w8a8_fused=True)
+    out_fp = pipe_fp(batch)
+    out_q = pipe_q(batch)
+    assert np.isfinite(np.asarray(out_q["boxes"])).all()
+    assert np.abs(
+        np.asarray(out_q["scores"]) - np.asarray(out_fp["scores"])
+    ).mean() < 0.05
+
+
+def test_ineligible_convbn_serves_fp_exactly(rng):
+    """A stride-2 ConvBN inside the context must fall through untouched."""
+    from cvm_tpu.models.layers import ConvBN
+
+    mod = ConvBN(16, kernel=3, stride=2)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 8)).astype(np.float32))
+    variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+    ref = mod.apply(variables, x, train=False)
+    with w8a8_fused_inference({"conv": 0.01}, interpret=True):
+        got = mod.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
