@@ -221,7 +221,7 @@ def _lower_infer(spec_name, cfg, variant, rng, cpu_device=None, scope="e2e"):
             kw["fold_bn"] = True
         if variant.endswith("w8a8"):
             kw["w8a8"] = True
-        elif "w8a8_static" in variant:
+        elif "w8a8_static" in variant or "w8a8_fused" in variant:
             # Calibrate eagerly on one tiny batch — scales only steer which
             # convs take the int8 path; values don't change FLOPs/bytes.
             from cvm_tpu.infer.quantize import calibrate_activation_scales
@@ -231,6 +231,12 @@ def _lower_infer(spec_name, cfg, variant, rng, cpu_device=None, scope="e2e"):
                                      6 if two_frame else 3)), np.float32)
             kw["w8a8"] = calibrate_activation_scales(
                 lambda x: model.apply(variables, x, train=False), [calib])
+            if "w8a8_fused" in variant:
+                # The Pallas kernel path: in --tpu mode this IS the
+                # hardware compile-check the Pallas invariant demands —
+                # Mosaic lowering happens inside the compile RPC, and a
+                # kernel interpret-mode wrongly accepted fails right here.
+                kw["w8a8_fused"] = True
         if cpu_device is not None:
             # Host numpy leaves are UNCOMMITTED, so the lowering below
             # follows the default backend (TPU) instead of sticking to the
@@ -319,7 +325,8 @@ def main(argv=None):
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--configs", default="B")
     p.add_argument("--variants",
-                   default="bf16,fold_bn,w8a8,w8a8_static,fold_w8a8_static",
+                   default="bf16,fold_bn,w8a8,w8a8_static,fold_w8a8_static,"
+                           "w8a8_fused",
                    help="serving variants (applied to infer-mode configs; "
                         "train-mode configs always run bf16)")
     p.add_argument("--chip", default="v5e", choices=sorted(CHIPS))
@@ -400,6 +407,10 @@ def main(argv=None):
                 df_caveat if df_bytes else None,
                 (None if df_bytes else
                  "op-sum bytes only (fusion-blind upper bound)"),
+                ("pallas custom-call internals invisible to cost analysis: "
+                 "FLOPs undercounted (cross-ref the bf16 row); bytes count "
+                 "the call's HBM-visible operands/results — exactly the "
+                 "byte-parity question" if "fused" in variant else None),
             ) if c]
             row = {"config": key, "model": spec_name, "mode": mode,
                    "scope": args.scope if mode == "infer" else "train_step",

@@ -98,6 +98,17 @@ def main(batch_size: int = 8, iters: int = 20, input_hw=None,
             out = model.apply(variables, x, train=False)
         return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
 
+    # Fused Pallas path (ops/pallas/fused_qconv.py): same calibrated int8
+    # lattice, but quantize + int8 dot + BN/act stay VMEM-resident — the
+    # kernel §9b says W8A8 cannot win without. On the real chip this row IS
+    # the Pallas-invariant compile check (Mosaic lowering, no interpreter).
+    from cvm_tpu.infer.quantize import w8a8_fused_inference
+
+    def fwd_w8a8_fused(variables, x):
+        with w8a8_fused_inference(scales):
+            out = model.apply(variables, x, train=False)
+        return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
+
     # BN-fold variants (infer/fold_bn.py): the normalize disappears; the
     # folded kernels are what the conv reads. Note the variables differ.
     from cvm_tpu.infer.fold_bn import bn_folded_inference, fold_batchnorm
@@ -143,11 +154,22 @@ def main(batch_size: int = 8, iters: int = 20, input_hw=None,
                 ("fold_bn", fwd_fold, folded_vars),
                 ("w8a8", fwd_w8a8, variables),
                 ("w8a8_static", fwd_w8a8_static, variables),
+                ("w8a8_fused", fwd_w8a8_fused, variables),
                 ("fold_bn+w8a8", fwd_fold_w8a8, folded_vars),
                 ("flat_stem", fwd_flat_stem, flat_vars))
     for name, fn, vs in variants:
         jfn = jax.jit(fn)
-        dt = _time_fn(jfn, [(vs, x) for x in xs], iters=iters)
+        try:
+            dt = _time_fn(jfn, [(vs, x) for x in xs], iters=iters)
+        except Exception as e:
+            # One variant failing to compile/run (e.g. Mosaic rejecting a
+            # Pallas kernel interpret-mode accepted) must not cost the rest
+            # of the ablation — record the failure as a first-class result.
+            rec = {"variant": name,
+                   "FAILED": f"{type(e).__name__}: {str(e)[:300]}"}
+            res[name] = rec
+            print(json.dumps(rec), flush=True)
+            continue
         flops = hbm = 0.0
         try:
             compiled = jfn.lower(vs, xs[0]).compile()
@@ -170,8 +192,9 @@ def main(batch_size: int = 8, iters: int = 20, input_hw=None,
 
     summary = {"device": kind}
     for name, _, _ in variants[1:]:
-        summary[f"{name}_speedup_vs_bf16"] = round(
-            res["bf16"]["ms_per_batch"] / res[name]["ms_per_batch"], 3)
+        if "ms_per_batch" in res.get(name, {}) and "ms_per_batch" in res["bf16"]:
+            summary[f"{name}_speedup_vs_bf16"] = round(
+                res["bf16"]["ms_per_batch"] / res[name]["ms_per_batch"], 3)
     print(json.dumps(summary), flush=True)
     return 0
 

@@ -168,12 +168,15 @@ def main(argv=None):
                         help="evaluate the MEAN of the last N retained "
                              "checkpoints (SWA) instead of the newest one")
     parser.add_argument("--quantize", default="none",
-                        choices=("none", "int8", "w8a8", "w8a8_static"),
+                        choices=("none", "int8", "w8a8", "w8a8_static",
+                                 "w8a8_fused"),
                         help="score the DEPLOYED numerics: int8 = weight-only "
                              "(what --quantize int8 artifacts serve), w8a8 = "
                              "dynamic full-integer convs, w8a8_static = "
                              "calibrated static scales (identical calibration "
-                             "to cli.export, so this measures the artifact)")
+                             "to cli.export, so this measures the artifact), "
+                             "w8a8_fused = same calibrated lattice through "
+                             "the fused Pallas int8 ConvBN kernel")
     parser.add_argument("--fold_bn", action="store_true",
                         help="evaluate with conv+BN folded as at export time")
     parser.add_argument("--calib_batches", type=int, default=3,
@@ -268,9 +271,15 @@ def main(argv=None):
     # training graph — these flags reproduce each artifact's compute path
     # inside the full metric pipeline.
     w8a8 = False
-    if args.quantize in ("w8a8", "w8a8_static") and args.model == "dmds":
+    w8a8_fused = args.quantize == "w8a8_fused"
+    if (args.quantize in ("w8a8", "w8a8_static", "w8a8_fused")
+            and args.model == "dmds"):
         parser.error("w8a8 evaluation is not supported for two-frame dmds "
                      "(matches cli.export)")
+    if w8a8_fused and args.fold_bn:
+        parser.error("--quantize w8a8_fused is incompatible with --fold_bn: "
+                     "the fused kernel applies the BN affine in its epilogue "
+                     "from live stats; folded kernels would get it twice")
     if args.quantize == "int8":
         from cvm_tpu.infer.quantize import (dequantize_params,
                                             quantization_error,
@@ -283,7 +292,7 @@ def main(argv=None):
         variables = {**variables, "params": dequantize_params(qparams)}
     elif args.quantize == "w8a8":
         w8a8 = True
-    elif args.quantize == "w8a8_static":
+    elif args.quantize in ("w8a8_static", "w8a8_fused"):
         # Identical calibration recipe to cli.export (synthetic scenes
         # through the serving preprocess), so the measured accuracy is the
         # shipped artifact's, scales included.
@@ -309,14 +318,14 @@ def main(argv=None):
         host_vars = jax.device_get(variables)
         w8a8 = calibrate_activation_scales(
             lambda x: model.apply(host_vars, x, train=False), procs)
-        print(f"[cvm_tpu] w8a8_static: calibrated {len(w8a8)} convs "
+        print(f"[cvm_tpu] {args.quantize}: calibrated {len(w8a8)} convs "
               f"on {len(procs)} synthetic batches", file=sys.stderr)
 
     m = evaluate_model(spec, cfg, variables, val, max_batches=args.batches,
                        mesh=trainer.mesh, per_class=args.per_class,
                        size_buckets=args.size_ap, confusion=args.confusion,
                        pr_curves=args.pr_out is not None, tta=args.tta,
-                       w8a8=w8a8, fold_bn=args.fold_bn)
+                       w8a8=w8a8, w8a8_fused=w8a8_fused, fold_bn=args.fold_bn)
     if args.pr_out:
         with open(args.pr_out, "w") as f:
             json.dump(m.pop("pr_curves", {}), f)

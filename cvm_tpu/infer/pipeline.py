@@ -94,10 +94,30 @@ class InferencePipeline:
         is_dmds = spec.name == "dmds"
 
         base_apply = self.model.apply
+        if w8a8_fused and not isinstance(w8a8, dict):
+            raise ValueError(
+                "w8a8_fused requires calibrated per-conv scales: pass "
+                "w8a8={module_path: scale} (calibrate_activation_scales). "
+                "Silently serving dynamic-quant or fp when the fused int8 "
+                "path was requested would hide the miscalibration."
+            )
+        if fold_bn and w8a8_fused:
+            # The fused Pallas kernel reads the live bn params/batch_stats
+            # to build its epilogue affine; folded kernels ALREADY carry the
+            # BN scale, so combining them double-applies gamma/rsqrt(var).
+            # Folding also buys nothing here — the fused epilogue keeps BN
+            # VMEM-resident anyway.
+            raise ValueError(
+                "fold_bn and w8a8_fused are mutually exclusive: the fused "
+                "kernel applies the BN affine in its epilogue from the live "
+                "bn stats, so folded kernels would get the BN scale twice. "
+                "w8a8_fused already keeps BN inside the kernel; drop fold_bn."
+            )
         if fold_bn:
             # Export-time conv+BN fusion (infer/fold_bn.py): kernels carry
             # the BN scale, each BN runs as a fused bias add. Composes with
-            # w8a8 below — the quantizer then sees the FOLDED kernels.
+            # the non-fused w8a8 paths below — the quantizer then sees the
+            # FOLDED kernels (w8a8_fused is rejected above).
             from cvm_tpu.infer.fold_bn import bn_folded_inference, fold_batchnorm
 
             self._variables, bias_table = fold_batchnorm(variables)

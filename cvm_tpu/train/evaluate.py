@@ -316,6 +316,7 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
                    pr_curves: bool = False,
                    tta: str = "none",
                    w8a8=False,
+                   w8a8_fused: bool = False,
                    fold_bn: bool = False,
                    predict_fn=None) -> Dict[str, float]:
     """Run the e2e pipeline over a loader and compute task metrics.
@@ -391,7 +392,8 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
                            else "rgb")
                 pipe = InferencePipeline(spec, cfg, variables, mesh=mesh,
                                          input_format=fmt, tta=tta,
-                                         w8a8=w8a8, fold_bn=fold_bn)
+                                         w8a8=w8a8, w8a8_fused=w8a8_fused,
+                                         fold_bn=fold_bn)
         out = pipe(batch)
         out = {k: np.asarray(v) for k, v in out.items()}
         B = batch["image_hw"].shape[0]

@@ -45,6 +45,67 @@ def parse_log(path: str) -> Dict[str, Any]:
     return {"records": records, "probes": probes, "eval_lines": eval_lines}
 
 
+def _metrics_run_id(path: str) -> str:
+    """Stable id for a training run = its FIRST metrics line's timestamp.
+
+    A resume appends to the same metrics.jsonl (same first ts → same id), so
+    a longer file legitimately refreshes that run's mirror; a fresh relaunch
+    starts a new file (new first ts → new id) and mirrors SEPARATELY instead
+    of clobbering the completed run's evidence (VERDICT r4 weak #2)."""
+    try:
+        with open(path, errors="replace") as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    ts = json.loads(line).get("ts")
+                    if ts:
+                        return time.strftime("%Y%m%dT%H%M%SZ",
+                                             time.gmtime(float(ts)))
+    except (OSError, ValueError):
+        pass
+    return "unknown"
+
+
+def _metrics_progress(path: str) -> int:
+    """max step recorded in a metrics.jsonl (0 when unreadable) — the
+    no-downgrade comparison key for same-run-id mirrors."""
+    step = 0
+    try:
+        with open(path, errors="replace") as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        step = max(step, int(json.loads(line).get("step", 0)))
+                    except (ValueError, TypeError):
+                        continue
+    except OSError:
+        pass
+    return step
+
+
+def _mirror_run(src_dir: str, snap: str, log=print) -> None:
+    """Mirror one training workdir's evidence, keyed by run id, refusing to
+    downgrade: a mirror whose recorded progress is ahead of the source is
+    left untouched (completed runs are immutable — VERDICT r4 #3)."""
+    metrics = os.path.join(src_dir, "metrics.jsonl")
+    if not os.path.exists(metrics):
+        return
+    run_id = _metrics_run_id(metrics)
+    base = f"{os.path.basename(src_dir.rstrip('/'))}@{run_id}"
+    dst_metrics = os.path.join(snap, f"{base}_metrics.jsonl")
+    if os.path.exists(dst_metrics):
+        have, new = _metrics_progress(dst_metrics), _metrics_progress(metrics)
+        if new < have:
+            log(f"REFUSING to downgrade {dst_metrics} "
+                f"(mirror step {have} > source step {new})")
+            return
+    shutil.copy2(metrics, dst_metrics)
+    best = os.path.join(src_dir, "best", "best.json")
+    if os.path.exists(best):
+        shutil.copy2(best, os.path.join(snap, f"{base}_best.json"))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", default="runs/measure")
@@ -67,9 +128,14 @@ def main(argv=None):
         step = name[:-4]
         parsed = parse_log(os.path.join(out, name))
         parsed["ok"] = os.path.exists(os.path.join(out, f"{step}.ok"))
+        mtime = os.path.getmtime(os.path.join(out, name))
         parsed["log_mtime"] = time.strftime(
-            "%Y-%m-%dT%H:%M:%SZ",
-            time.gmtime(os.path.getmtime(os.path.join(out, name))))
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime(mtime))
+        # A step without its .ok marker is IN PROGRESS while its log is
+        # still being written — labeling a live run "FAILED" misreports the
+        # evidence (VERDICT r4 weak #2).
+        parsed["in_progress"] = (not parsed["ok"]
+                                 and time.time() - mtime < 900)
         steps[step] = parsed
 
     # Accuracy-tier artifacts live OUTSIDE the on-chip queue (they are valid
@@ -98,7 +164,9 @@ def main(argv=None):
 
     lines = [f"# Measurement session results ({result['collected_at']})", ""]
     for step, p in steps.items():
-        status = "OK" if p["ok"] else "FAILED/partial"
+        status = ("OK" if p["ok"]
+                  else "IN PROGRESS" if p.get("in_progress")
+                  else "FAILED/partial")
         probe = ", ".join(f"{k} {v:.1f} ms" for k, v in p["probes"].items())
         lines.append(f"## {step} — {status} ({p['log_mtime']}"
                      + (f"; probes: {probe}" if probe else "") + ")")
@@ -126,11 +194,11 @@ def main(argv=None):
         for name in ("RESULTS.json", "RESULTS.md"):
             shutil.copy2(os.path.join(out, name), os.path.join(snap, name))
         # Flagship training curves + kept-best evals are the accuracy-tier
-        # evidence PARITY.md cites — mirror the small files whole.
-        for src in sorted(_glob.glob("runs/flagship*/metrics.jsonl")) + sorted(
-                _glob.glob("runs/flagship*/best/best.json")):
-            rel = src.replace("runs/", "").replace("/", "_")
-            shutil.copy2(src, os.path.join(snap, rel))
+        # evidence PARITY.md cites — mirror the small files whole, keyed by
+        # run id so a relaunch never clobbers a completed run's mirror.
+        for src_dir in sorted(_glob.glob("runs/flagship*")):
+            if os.path.isdir(src_dir):
+                _mirror_run(src_dir, snap)
         for src in sorted(_glob.glob("runs/roofline*.json")):
             shutil.copy2(src, os.path.join(snap, os.path.basename(src)))
         print(f"snapshot mirrored into {snap}/ (commit it: evidence under "

@@ -86,6 +86,18 @@ while [[ ! -e "$OUT/$NAME.ok" ]]; do
   wait "$pid"
   rc=$?
   rm -f "$RUNFILE"
+  if [[ $rc -ge 128 ]]; then
+    # Signal-killed (rc=137 observed repeatedly in round 4 with no recorded
+    # cause): capture WHY — OOM-killer lines and host memory state — so the
+    # ~35 min single-core re-warm each kill costs is at least explained
+    # (VERDICT r4 weak #7).
+    {
+      echo "$(date -Is) attempt $attempt pid $pid killed by signal $((rc - 128)) (rc=$rc)"
+      dmesg 2>/dev/null | grep -iE "oom|out of memory|killed process" | tail -10 \
+        || echo "(no oom lines in dmesg / dmesg unavailable)"
+      free -m 2>/dev/null | head -3
+    } >> "$OUT/$NAME.killlog"
+  fi
   if [[ $rc -eq 0 && -e "$WORKDIR/best/best.json" ]]; then
     echo "$(date -Is) flagship run COMPLETE (attempt $attempt)"
     touch "$OUT/$NAME.ok"

@@ -104,7 +104,10 @@ while true; do
   ensure_flagship
   # Mirror whatever evidence exists into the git-tracked snapshot dir every
   # cycle (cheap log parse): runs/ is ephemeral across workspace resets.
-  python scripts/collect_results.py --out "$OUT" --snapshot >/dev/null 2>&1 || true
+  # Log (don't discard) the collector's output: a persistent mirroring
+  # failure must be auditable, not silent (ADVICE r4 low).
+  python scripts/collect_results.py --out "$OUT" --snapshot \
+    > runs/SNAPSHOT_LAST 2>&1 || echo "$(date -Is) snapshot FAILED rc=$?" >> runs/SNAPSHOT_LAST
   ms="$(probe_ms || true)"
   ms="${ms:-inf}"
   echo "$(date -Is) probe=${ms} ms/dispatch" | tee -a runs/PROBE_LAST

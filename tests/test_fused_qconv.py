@@ -147,6 +147,26 @@ def test_fused_pipeline_end_to_end(rng):
     ).mean() < 0.05
 
 
+def test_fused_rejects_fold_bn_and_uncalibrated(rng):
+    """fold_bn + w8a8_fused would apply the BN scale twice (folded kernels
+    AND the fused epilogue's live-stats affine) — must refuse, not silently
+    serve wrong numerics (ADVICE r4 high). Likewise w8a8_fused without a
+    calibrated scales dict must refuse, not silently serve fp/dynamic."""
+    spec = get_model("centernet")
+    p = spec.params_cls(input_hw=(64, 64), num_classes=3, backbone="tiny",
+                        neck_features=32, head_features=16, top_k=10)
+    model = spec.create_model(p)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        InferencePipeline(spec, p, variables, w8a8={"conv": 0.1},
+                          w8a8_fused=True, fold_bn=True)
+    with pytest.raises(ValueError, match="calibrated"):
+        InferencePipeline(spec, p, variables, w8a8=True, w8a8_fused=True)
+    with pytest.raises(ValueError, match="calibrated"):
+        InferencePipeline(spec, p, variables, w8a8_fused=True)
+
+
 def test_ineligible_convbn_serves_fp_exactly(rng):
     """A stride-2 ConvBN inside the context must fall through untouched."""
     from cvm_tpu.models.layers import ConvBN
