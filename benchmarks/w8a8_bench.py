@@ -102,10 +102,15 @@ def main(batch_size: int = 8, iters: int = 20, input_hw=None,
     # lattice, but quantize + int8 dot + BN/act stay VMEM-resident — the
     # kernel §9b says W8A8 cannot win without. On the real chip this row IS
     # the Pallas-invariant compile check (Mosaic lowering, no interpreter).
-    from cvm_tpu.infer.quantize import w8a8_fused_inference
+    from cvm_tpu.infer.quantize import (
+        prequantize_fused_weights,
+        w8a8_fused_inference,
+    )
+
+    fused_wtab = prequantize_fused_weights(variables)
 
     def fwd_w8a8_fused(variables, x):
-        with w8a8_fused_inference(scales):
+        with w8a8_fused_inference(scales, weight_table=fused_wtab):
             out = model.apply(variables, x, train=False)
         return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
 

@@ -134,13 +134,18 @@ class InferencePipeline:
             )
         if isinstance(w8a8, dict) and w8a8_fused:
             # Fused Pallas W8A8: each eligible ConvBN body (quantize + int8
-            # MXU dot + BN/act epilogue) runs VMEM-resident — byte-parity
-            # with bf16 where the XLA-composed static path added 70-125%
-            # HBM traffic (DESIGN.md §9b).
-            from cvm_tpu.infer.quantize import w8a8_fused_inference
+            # MXU dot + BN/act epilogue) runs VMEM-resident, with weights
+            # pre-quantized HOST-side so the program carries int8 weight
+            # constants and never reads the fp32 kernels (DESIGN.md §9b).
+            from cvm_tpu.infer.quantize import (
+                prequantize_fused_weights,
+                w8a8_fused_inference,
+            )
+
+            wtab = prequantize_fused_weights(variables)
 
             def apply_fn(*a, **kw):
-                with w8a8_fused_inference(w8a8):
+                with w8a8_fused_inference(w8a8, weight_table=wtab):
                     return base_apply(*a, **kw)
         elif isinstance(w8a8, dict):
             # Static-calibrated W8A8: elementwise quantize with fixed scales

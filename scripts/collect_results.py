@@ -92,6 +92,8 @@ def _mirror_run(src_dir: str, snap: str, log=print) -> None:
     if not os.path.exists(metrics):
         return
     run_id = _metrics_run_id(metrics)
+    if run_id == "unknown":
+        return  # no first step logged yet — nothing worth mirroring
     base = f"{os.path.basename(src_dir.rstrip('/'))}@{run_id}"
     dst_metrics = os.path.join(snap, f"{base}_metrics.jsonl")
     if os.path.exists(dst_metrics):

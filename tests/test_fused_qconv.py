@@ -147,6 +147,35 @@ def test_fused_pipeline_end_to_end(rng):
     ).mean() < 0.05
 
 
+def test_prequantized_weight_table_bit_identical(rng):
+    """Host-prequantized int8 weights (the deployment posture the TPU
+    dataflow capture motivated — in-program requantization measured +25%
+    HBM) must produce EXACTLY the in-program path's lattice values."""
+    from cvm_tpu.infer.quantize import prequantize_fused_weights
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16)
+    model = spec.create_model(p)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    cal = [jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))]
+    scales = calibrate_activation_scales(
+        lambda x: model.apply(variables, x, train=False), cal)
+    wtab = prequantize_fused_weights(variables)
+    assert wtab, "prequantize found no conv kernels"
+    for wq, sw in wtab.values():
+        assert wq.dtype == np.int8 and sw.ndim == 1
+
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    with w8a8_fused_inference(scales, interpret=True):
+        out_inprog = model.apply(variables, x, train=False)
+    with w8a8_fused_inference(scales, interpret=True, weight_table=wtab):
+        out_pre = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out_inprog["logits"]),
+                                  np.asarray(out_pre["logits"]))
+
+
 def test_fused_rejects_fold_bn_and_uncalibrated(rng):
     """fold_bn + w8a8_fused would apply the BN scale twice (folded kernels
     AND the fused epilogue's live-stats affine) — must refuse, not silently
