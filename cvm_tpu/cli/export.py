@@ -65,7 +65,20 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
                         int(cfg.input_hw[1] * 1.5) // 2 * 2)
 
     w8a8_scales = None
-    if quantize == "w8a8":
+    if quantize == "w8a8_fused":
+        # The fused-kernel artifact embeds a Mosaic (TPU) custom call — it
+        # is TPU-only by construction. Exporting the CPU interpreter's
+        # lowering instead would silently ship an emulated program orders
+        # of magnitude slower than the hardware kernel.
+        from cvm_tpu.utils.backend import is_tpu_backend
+
+        if not is_tpu_backend():
+            raise ValueError(
+                "--quantize w8a8_fused exports the Mosaic kernel program "
+                "and requires a TPU backend; on CPU use cli.evaluate "
+                "--quantize w8a8_fused (interpret mode) to score the "
+                "numerics instead")
+    if quantize in ("w8a8", "w8a8_fused"):
         # Full-integer compute baked into the artifact (the reference's
         # full-int8 TFLite analogue, SURVEY.md §3.5): calibrate per-conv
         # activation scales on synthetic scenes, then export the program
@@ -93,6 +106,7 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
 
     pipe = InferencePipeline(spec, cfg, variables, input_format=input_format,
                              w8a8=w8a8_scales if w8a8_scales else False,
+                             w8a8_fused=(quantize == "w8a8_fused"),
                              fold_bn=fold_bn, tta=tta)
     # With fold_bn the traced program expects the FOLDED kernels (the BN
     # normalize is gone; its residual bias is a program constant) — the
@@ -126,7 +140,14 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
             args = args + (jnp.ones((bs, 4), jnp.float32),)
         return args
 
-    exports = {bs: jax_export.export(pipe._predict)(*_trace_args(bs))
+    export_kw = {}
+    if quantize == "w8a8_fused":
+        # The Pallas kernel lowers to a tpu_custom_call; jax.export refuses
+        # custom calls by default (portability). This artifact is declared
+        # TPU-only above, so the check is safe to disable here.
+        export_kw["disabled_checks"] = [
+            jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+    exports = {bs: jax_export.export(pipe._predict, **export_kw)(*_trace_args(bs))
                for bs in sizes}
     blobs = {bs: e.serialize() for bs, e in exports.items()}
     exported = exports[batch_size]
@@ -164,7 +185,7 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
                 flat[key] = np.asarray(v)
 
     qstats = {}
-    if quantize == "w8a8":
+    if quantize in ("w8a8", "w8a8_fused"):
         qstats["calibrated_convs"] = len(w8a8_scales or {})
         _flatten("params", jax.device_get(trainer.eval_params))
     elif quantize == "int8":
@@ -240,18 +261,24 @@ def main(argv=None):
              "on the smallest fitting bucket — less padding waste at low "
              "QPS. Overrides --batch_size (primary program = largest).",
     )
-    parser.add_argument("--quantize", choices=["none", "int8", "w8a8"], default="none",
+    parser.add_argument("--quantize",
+                        choices=["none", "int8", "w8a8", "w8a8_fused"],
+                        default="none",
                         help="int8 = weight-only (4x smaller artifact); w8a8 = "
                              "full-integer compute baked into the program "
-                             "(calibrated static activation scales)")
+                             "(calibrated static activation scales); "
+                             "w8a8_fused = same lattice through the fused "
+                             "Mosaic int8 ConvBN kernel (TPU-only artifact, "
+                             "byte-parity HBM — DESIGN.md §9c)")
     parser.add_argument("--input_format", choices=["rgb", "yuv420"], default="rgb",
                         help="yuv420 exports the bandwidth-optimal serving path")
     parser.add_argument("--fold_bn", action="store_true", default=None,
                         help="fold BatchNorm scales into conv kernels at "
                              "export (BN shrinks to a fused bias add). "
                              "DEFAULT (round 4): ON for fp exports — exactly "
-                             "equivalent (tests/test_fold_bn.py), -14.6%% "
-                             "model-stage HBM traffic TPU-lowered (DESIGN.md "
+                             "equivalent (tests/test_fold_bn.py), -10.4%% "
+                             "model-stage HBM traffic TPU-lowered, dataflow "
+                             "basis (DESIGN.md "
                              "§9b) — and OFF for --quantize exports, where "
                              "folding measurably coarsens the int8 grid "
                              "(§8: fold+w8a8 loses 0.6 mAP vs w8a8 alone)")

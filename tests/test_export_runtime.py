@@ -204,6 +204,32 @@ def test_export_w8a8_full_integer_artifact(tmp_path, rng):
     assert (cm_fp == cm_w).mean() > 0.9
 
 
+def test_export_w8a8_fused_refused_off_tpu(tmp_path, rng):
+    """--quantize w8a8_fused ships the Mosaic kernel program (TPU-only);
+    on the CPU backend export must refuse rather than silently serialize
+    the interpreter's emulated lowering (DESIGN.md §9c)."""
+    from cvm_tpu.cli.export import export_model
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16, class_weights=(1.0, 1.0, 1.0),
+                        batch_size=8, warmup_steps=1, total_steps=10)
+    ckdir = str(tmp_path / "ck")
+    tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=1, log_every=1)
+    tr.init_state()
+    import itertools
+
+    pool = [synthetic_batch(np.random.default_rng(0), 8, (48, 48), num_classes=3)]
+    tr.fit(itertools.cycle(pool), 1)
+    tr.ckpt.wait()
+    with pytest.raises(ValueError, match="TPU backend"):
+        export_model("semseg", ckdir, str(tmp_path / "art"), batch_size=1,
+                     quantize="w8a8_fused")
+
+
 def test_export_dmds_yuv420(tmp_path, rng):
     """Two-frame dmds exports on the yuv420 wire format (7 data args)."""
     from cvm_tpu.cli.export import export_model
