@@ -6,6 +6,11 @@ import jax
 import numpy as np
 import pytest
 
+# Each test trains a real Trainer through several checkpoint saves — the
+# three together measured 568 s on the loaded single core (top of the
+# round-5 fast-lane duration profile); coverage lives in the slow lane.
+pytestmark = pytest.mark.slow
+
 from cvm_tpu.data.synthetic import synthetic_batch
 from cvm_tpu.models import get_model
 from cvm_tpu.train.average import average_checkpoints

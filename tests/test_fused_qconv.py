@@ -86,6 +86,7 @@ def test_kernel_matches_quantized_oracle(kh, B, H, W, cin, cout, act):
     np.testing.assert_allclose(got_bf, ref, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow  # 72 s measured (interpret-mode kernels over a full net)
 def test_fused_interceptor_matches_fp(rng, monkeypatch):
     """Semseg tiny: the fused path serves logits close to fp, and the
     interceptor genuinely fires (guards against a vacuous fallback pass)."""
@@ -126,6 +127,7 @@ def test_fused_interceptor_matches_fp(rng, monkeypatch):
     assert agree > 0.9, f"class agreement {agree}"
 
 
+@pytest.mark.slow  # 69 s measured (two e2e pipelines, interpret-mode convs)
 def test_fused_pipeline_end_to_end(rng):
     spec = get_model("centernet")
     p = spec.params_cls(input_hw=(64, 64), num_classes=3, backbone="tiny",

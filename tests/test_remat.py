@@ -28,6 +28,10 @@ def _variables_and_batch(remat: bool):
     return model, variables, x
 
 
+import pytest
+
+
+@pytest.mark.slow  # 96 s measured: two full models, fwd+grads, compared
 def test_remat_identical_params_outputs_grads():
     m0, v0, x = _variables_and_batch(remat=False)
     m1, v1, _ = _variables_and_batch(remat=True)

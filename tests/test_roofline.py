@@ -82,6 +82,25 @@ def test_hlo_dataflow_counts_fusion_boundary_only():
     assert caveat is None
 
 
+def test_hlo_dataflow_dedupes_repeated_operands():
+    """One buffer passed as several operands of ONE op (the fused-qconv 3x3
+    kernel takes main + two halo views of the same activation) is one HBM
+    read stream — counting it per-operand showed +39% phantom bytes on the
+    fused variant (DESIGN.md §9c)."""
+    hlo = """\
+ENTRY %main.1 (a: f32[4,4]) -> f32[4,4] {
+  %a = f32[4,4] parameter(0)
+  ROOT %cc = f32[4,4] custom-call(%a, %a, %a), custom_call_target="tpu_custom_call"
+}
+"""
+    sys.path.insert(0, "benchmarks")
+    from roofline import hlo_dataflow_bytes
+
+    total, _ = hlo_dataflow_bytes(hlo)
+    # custom-call: 64 B out + 64 B for %a counted ONCE, not three times
+    assert total == 2 * 4 * 4 * 4, total
+
+
 def test_hlo_dataflow_while_caveat():
     hlo = """\
 %body.1 (p.1: s32[]) -> s32[] {

@@ -82,6 +82,10 @@ def test_image_event_roundtrip(tmp_path):
     assert any(e["scalars"].get("loss") == 1.0 for e in events)
 
 
+import pytest
+
+
+@pytest.mark.slow  # 72 s measured: full train+eval+image-render CLI run
 def test_cli_eval_images_land_in_tb(tmp_path):
     """cli.train --eval_images renders eval predictions into the TB events
     file (the reference's OpenCV inspection windows, headless)."""
