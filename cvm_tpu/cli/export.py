@@ -272,6 +272,11 @@ def main(argv=None):
                              "byte-parity HBM — DESIGN.md §9c)")
     parser.add_argument("--input_format", choices=["rgb", "yuv420"], default="rgb",
                         help="yuv420 exports the bandwidth-optimal serving path")
+    parser.add_argument("--pad_hw", default=None, metavar="H,W",
+                        help="raw-input pad size the artifact accepts "
+                             "(default: 1.5x the model input_hw) — match the "
+                             "training eval's pad for comparable artifact "
+                             "scores")
     parser.add_argument("--fold_bn", action="store_true", default=None,
                         help="fold BatchNorm scales into conv kernels at "
                              "export (BN shrinks to a fused bias add). "
@@ -298,8 +303,14 @@ def main(argv=None):
     sizes = None
     if args.batch_sizes:
         sizes = [int(s) for s in args.batch_sizes.split(",") if s]
+    pad_hw = None
+    if args.pad_hw:
+        from cvm_tpu.utils.config import parse_hw
+
+        pad_hw = parse_hw(args.pad_hw, "--pad_hw")
     stats = export_model(args.model, args.checkpoint_dir, args.out,
-                         args.batch_size, quantize=args.quantize,
+                         args.batch_size, pad_hw=pad_hw,
+                         quantize=args.quantize,
                          input_format=args.input_format, fold_bn=args.fold_bn,
                          tta=args.tta, average_last=args.average_last,
                          batch_sizes=sizes)
