@@ -65,19 +65,6 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
                         int(cfg.input_hw[1] * 1.5) // 2 * 2)
 
     w8a8_scales = None
-    if quantize == "w8a8_fused":
-        # The fused-kernel artifact embeds a Mosaic (TPU) custom call — it
-        # is TPU-only by construction. Exporting the CPU interpreter's
-        # lowering instead would silently ship an emulated program orders
-        # of magnitude slower than the hardware kernel.
-        from cvm_tpu.utils.backend import is_tpu_backend
-
-        if not is_tpu_backend():
-            raise ValueError(
-                "--quantize w8a8_fused exports the Mosaic kernel program "
-                "and requires a TPU backend; on CPU use cli.evaluate "
-                "--quantize w8a8_fused (interpret mode) to score the "
-                "numerics instead")
     if quantize in ("w8a8", "w8a8_fused"):
         # Full-integer compute baked into the artifact (the reference's
         # full-int8 TFLite analogue, SURVEY.md §3.5): calibrate per-conv
@@ -107,6 +94,13 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
     pipe = InferencePipeline(spec, cfg, variables, input_format=input_format,
                              w8a8=w8a8_scales if w8a8_scales else False,
                              w8a8_fused=(quantize == "w8a8_fused"),
+                             # The exported fused program must carry the
+                             # REAL Mosaic kernel, never the CPU
+                             # interpreter's emulation — cross-platform
+                             # lowering (platforms=["tpu"] below) makes
+                             # that possible from any host.
+                             fused_interpret=(False if quantize == "w8a8_fused"
+                                              else None),
                              fold_bn=fold_bn, tta=tta)
     # With fold_bn the traced program expects the FOLDED kernels (the BN
     # normalize is gone; its residual bias is a program constant) — the
@@ -140,13 +134,22 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
             args = args + (jnp.ones((bs, 4), jnp.float32),)
         return args
 
-    export_kw = {}
+    # Conversion is a HOST job (the reference's edgetpu_compiler runs on a
+    # workstation, not the device — SURVEY.md §3.5): every artifact records
+    # the platform check as disabled so a CPU-host export deploys on TPU
+    # (StableHLO is the portability layer; programs with TPU custom calls
+    # are additionally lowered FOR tpu explicitly, below).
+    export_kw = {"disabled_checks": [jax_export.DisabledSafetyCheck.platform()]}
     if quantize == "w8a8_fused":
         # The Pallas kernel lowers to a tpu_custom_call; jax.export refuses
-        # custom calls by default (portability). This artifact is declared
-        # TPU-only above, so the check is safe to disable here.
-        export_kw["disabled_checks"] = [
-            jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+        # custom calls by default (portability) — this artifact is
+        # explicitly TPU-targeted, so the check is safe to disable, and
+        # platforms=["tpu"] makes Mosaic lower the real kernel even when
+        # the exporting host has no TPU (verified: CPU-host export
+        # round-trips with platforms=('tpu',)).
+        export_kw["disabled_checks"].append(
+            jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call"))
+        export_kw["platforms"] = ["tpu"]
     exports = {bs: jax_export.export(pipe._predict, **export_kw)(*_trace_args(bs))
                for bs in sizes}
     blobs = {bs: e.serialize() for bs, e in exports.items()}
@@ -229,12 +232,22 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
     # `cli.serve --selftest` re-check it at deploy time (infer/selftest.py).
     from cvm_tpu.infer.runtime import ServingModel
     from cvm_tpu.infer.selftest import SELFTEST_SEED, fingerprint, synth_inputs
+    from cvm_tpu.utils.backend import is_tpu_backend
 
     with_3d = bool(getattr(cfg, "with_3d", False))
-    runner = ServingModel(out_dir)
-    st_out = runner(*synth_inputs(meta, with_3d=with_3d))
-    meta["selftest"] = {"seed": SELFTEST_SEED, "with_3d": with_3d,
-                        "outputs": fingerprint(st_out)}
+    if quantize == "w8a8_fused" and not is_tpu_backend():
+        # Cross-platform export: the tpu-targeted program cannot EXECUTE on
+        # this host. Record that the fingerprint is deferred — ServingModel
+        # .selftest() / cli.serve --selftest computes and pins it at the
+        # first TPU deployment instead of silently skipping forever.
+        meta["selftest"] = {"seed": SELFTEST_SEED, "with_3d": with_3d,
+                            "deferred": "tpu-only program exported on a "
+                                        "non-tpu host; fingerprint at deploy"}
+    else:
+        runner = ServingModel(out_dir)
+        st_out = runner(*synth_inputs(meta, with_3d=with_3d))
+        meta["selftest"] = {"seed": SELFTEST_SEED, "with_3d": with_3d,
+                            "outputs": fingerprint(st_out)}
     with open(os.path.join(out_dir, "artifact.json"), "w") as f:
         json.dump(meta, f)
     return {

@@ -79,6 +79,7 @@ class InferencePipeline:
         input_format: str = "rgb",
         w8a8: bool = False,
         w8a8_fused: bool = False,
+        fused_interpret: Optional[bool] = None,
         fold_bn: bool = False,
         tta: str = "none",
     ):
@@ -145,7 +146,11 @@ class InferencePipeline:
             wtab = prequantize_fused_weights(variables)
 
             def apply_fn(*a, **kw):
-                with w8a8_fused_inference(w8a8, weight_table=wtab):
+                # fused_interpret=None auto-selects by backend; False forces
+                # the real Mosaic kernel (cross-platform export lowers it
+                # for TPU even from a CPU host).
+                with w8a8_fused_inference(w8a8, weight_table=wtab,
+                                          interpret=fused_interpret):
                     return base_apply(*a, **kw)
         elif isinstance(w8a8, dict):
             # Static-calibrated W8A8: elementwise quantize with fixed scales

@@ -95,10 +95,17 @@ def _kernel_3x3(xm_ref, xt_ref, xb_ref, w_ref, sc_ref, bi_ref, out_ref, *,
     for dy in range(3):
         rows = xq[dy:dy + bh]  # output row r reads input row r+dy-1 ✓
         for dx in range(3):
+            # W == 1 (a 1-wide feature map, e.g. a 32x input at the deepest
+            # stage): the +-1 column taps fall entirely in the SAME-padding
+            # zeros, and the rows[:, :-1] / rows[:, 1:] slices would be
+            # ZERO-width — Mosaic rejects zero-sized vectors (caught by the
+            # on-hardware compile check; interpret mode accepted them).
             if dx == 0:      # input col c-1: shift right, zero at col 0
-                tap = jnp.concatenate([zcol, rows[:, :-1]], axis=1)
+                tap = (jnp.concatenate([zcol, rows[:, :-1]], axis=1)
+                       if W > 1 else jnp.zeros_like(rows))
             elif dx == 2:    # input col c+1: shift left, zero at col W-1
-                tap = jnp.concatenate([rows[:, 1:], zcol], axis=1)
+                tap = (jnp.concatenate([rows[:, 1:], zcol], axis=1)
+                       if W > 1 else jnp.zeros_like(rows))
             else:
                 tap = rows
             acc = acc + jax.lax.dot_general(

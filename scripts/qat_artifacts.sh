@@ -37,8 +37,16 @@ step() {
   rm -f "$MEASURING_PATH"
 }
 
+# Conversion is a HOST job (CVM_PLATFORM=cpu: no tunnel dependency — an
+# eager calibration over the relay measured 15+ min of silence in a
+# degraded window); artifacts carry the platform check disabled, so the
+# chip-side evals below load them directly. Scoring runs on the ambient
+# (TPU) backend: one jitted program, the shape of work the tunnel handles
+# even degraded (the QAT trainer held ~1 step/s through probe=inf).
+
 # 1. The deployed int8 story: static-calibrated W8A8 artifact + score.
-step qat_export_w8a8 python -m cvm_tpu.cli.export --model centernet \
+step qat_export_w8a8 env CVM_PLATFORM=cpu python -m cvm_tpu.cli.export \
+  --model centernet \
   --checkpoint_dir "$CK" --out runs/export_qat_w8a8 --quantize w8a8 \
   --batch_size 16 --pad_hw "$PAD"
 step qat_eval_w8a8_artifact python -m cvm_tpu.cli.evaluate \
@@ -47,7 +55,8 @@ step qat_eval_w8a8_artifact python -m cvm_tpu.cli.evaluate \
 
 # 2. The fused Mosaic-kernel artifact (TPU-only; its export selftest is the
 #    first on-hardware EXECUTION of the kernel) + score.
-step qat_export_w8a8_fused python -m cvm_tpu.cli.export --model centernet \
+step qat_export_w8a8_fused env CVM_PLATFORM=cpu python -m cvm_tpu.cli.export \
+  --model centernet \
   --checkpoint_dir "$CK" --out runs/export_qat_w8a8_fused \
   --quantize w8a8_fused --batch_size 16 --pad_hw "$PAD"
 step qat_eval_w8a8_fused_artifact python -m cvm_tpu.cli.evaluate \
@@ -58,7 +67,8 @@ step qat_eval_w8a8_fused_artifact python -m cvm_tpu.cli.evaluate \
 #    checkpoint (what qat=True eval numerics promise to match) and the
 #    fp-flagship artifact score is already recorded (mAP 0.9049, train-time
 #    eval) — this pins the artifact-eval harness itself.
-step qat_export_fp python -m cvm_tpu.cli.export --model centernet \
+step qat_export_fp env CVM_PLATFORM=cpu python -m cvm_tpu.cli.export \
+  --model centernet \
   --checkpoint_dir "$CK" --out runs/export_qat_fp \
   --batch_size 16 --pad_hw "$PAD"
 step qat_eval_fp_artifact python -m cvm_tpu.cli.evaluate \

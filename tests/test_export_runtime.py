@@ -204,10 +204,15 @@ def test_export_w8a8_full_integer_artifact(tmp_path, rng):
     assert (cm_fp == cm_w).mean() > 0.9
 
 
-def test_export_w8a8_fused_refused_off_tpu(tmp_path, rng):
-    """--quantize w8a8_fused ships the Mosaic kernel program (TPU-only);
-    on the CPU backend export must refuse rather than silently serialize
-    the interpreter's emulated lowering (DESIGN.md §9c)."""
+@pytest.mark.slow
+def test_export_w8a8_fused_cross_platform_from_cpu(tmp_path, rng):
+    """--quantize w8a8_fused on a CPU host cross-platform-lowers the REAL
+    Mosaic kernel for TPU (conversion is a host job — the edgetpu_compiler
+    analogue): the artifact records platforms=('tpu',), embeds
+    tpu_custom_call (never the interpreter's emulation), and defers the
+    selftest fingerprint to first TPU deployment (DESIGN.md §9c)."""
+    import json as _json
+
     from cvm_tpu.cli.export import export_model
     from cvm_tpu.data.synthetic import synthetic_batch
     from cvm_tpu.models import get_model
@@ -225,9 +230,15 @@ def test_export_w8a8_fused_refused_off_tpu(tmp_path, rng):
     pool = [synthetic_batch(np.random.default_rng(0), 8, (48, 48), num_classes=3)]
     tr.fit(itertools.cycle(pool), 1)
     tr.ckpt.wait()
-    with pytest.raises(ValueError, match="TPU backend"):
-        export_model("semseg", ckdir, str(tmp_path / "art"), batch_size=1,
-                     quantize="w8a8_fused")
+    out = str(tmp_path / "art_fused")
+    stats = export_model("semseg", ckdir, out, batch_size=1,
+                         quantize="w8a8_fused")
+    assert stats["platforms"] == ["tpu"]
+    assert stats["calibrated_convs"] > 5
+    meta = _json.load(open(f"{out}/artifact.json"))
+    assert "deferred" in meta["selftest"]
+    blob = open(f"{out}/model.stablehlo", "rb").read()
+    assert b"tpu_custom_call" in blob  # the real kernel, not the emulation
 
 
 def test_export_dmds_yuv420(tmp_path, rng):

@@ -52,7 +52,8 @@ def _oracle(x, wq, scale, bias, sx, act):
         (3, 2, 16, 20, 32, 64, "silu"),   # W not a multiple of the lane tile
         (3, 1, 32, 48, 16, 256, None),    # Cout > 128 exercises N tiling
         (3, 1, 8, 96, 8, 32, "relu"),     # W > 4096/bh forces small bh
-    ],
+        (3, 2, 2, 1, 16, 32, "relu"),     # W=1: ±1 col taps are all-pad
+    ],                                    # (zero-width slice crashed Mosaic)
 )
 def test_kernel_matches_quantized_oracle(kh, B, H, W, cin, cout, act):
     rng = np.random.default_rng(kh * 1000 + cout)
