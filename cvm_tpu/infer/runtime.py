@@ -54,6 +54,8 @@ class ServingModel:
 
         from jax import export as jax_export
 
+        self.artifact_dir = artifact_dir
+
         with open(os.path.join(artifact_dir, "model.stablehlo"), "rb") as f:
             self._exported = jax_export.deserialize(bytearray(f.read()))
 

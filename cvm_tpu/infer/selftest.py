@@ -109,4 +109,18 @@ def run_selftest(model, rtol: float = 0.05, atol: float = 1e-3) -> List[str]:
     args = synth_inputs(model.meta, with_3d=bool(st.get("with_3d", False)),
                         seed=int(st.get("seed", SELFTEST_SEED)))
     out = model(*args)
+    if "outputs" not in st and "deferred" in st:
+        # Cross-platform export (e.g. a w8a8_fused artifact converted on a
+        # CPU host): the tpu-only program could not execute at export time,
+        # so THIS first successful run pins the fingerprint for every later
+        # deploy to verify against.
+        import json
+        import os
+
+        st = {k: v for k, v in st.items() if k != "deferred"}
+        st["outputs"] = fingerprint(out)
+        model.meta["selftest"] = st
+        with open(os.path.join(model.artifact_dir, "artifact.json"), "w") as f:
+            json.dump(model.meta, f)
+        return []
     return compare(st["outputs"], fingerprint(out), rtol=rtol, atol=atol)

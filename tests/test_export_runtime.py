@@ -205,6 +205,47 @@ def test_export_w8a8_full_integer_artifact(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_deferred_selftest_pins_on_first_run(tmp_path, rng):
+    """A cross-platform export records selftest as deferred; the first
+    successful ServingModel.selftest() computes and PINS the fingerprint
+    (verified live on-chip for the fused artifact 2026-08-20), and later
+    runs verify against it."""
+    import json as _json
+
+    from cvm_tpu.cli.export import export_model
+    from cvm_tpu.data.synthetic import synthetic_batch
+    from cvm_tpu.infer.runtime import ServingModel
+    from cvm_tpu.models import get_model
+    from cvm_tpu.train.loop import Trainer
+
+    spec = get_model("semseg")
+    p = spec.params_cls(input_hw=(32, 32), num_classes=3, backbone="tiny",
+                        decoder_features=16, class_weights=(1.0, 1.0, 1.0),
+                        batch_size=8, warmup_steps=1, total_steps=10)
+    ckdir = str(tmp_path / "ck")
+    tr = Trainer(spec, p, checkpoint_dir=ckdir, checkpoint_every=1, log_every=1)
+    tr.init_state()
+    import itertools
+
+    pool = [synthetic_batch(np.random.default_rng(0), 8, (48, 48), num_classes=3)]
+    tr.fit(itertools.cycle(pool), 1)
+    tr.ckpt.wait()
+    out = str(tmp_path / "art")
+    export_model("semseg", ckdir, out, batch_size=1)
+    # Simulate the cross-platform case: strip the recorded fingerprint.
+    meta = _json.load(open(f"{out}/artifact.json"))
+    meta["selftest"] = {"seed": meta["selftest"]["seed"], "with_3d": False,
+                        "deferred": "test"}
+    _json.dump(meta, open(f"{out}/artifact.json", "w"))
+
+    m = ServingModel(out)
+    assert m.selftest() == []  # first run pins
+    pinned = _json.load(open(f"{out}/artifact.json"))["selftest"]
+    assert "outputs" in pinned and "deferred" not in pinned
+    assert ServingModel(out).selftest() == []  # second run verifies
+
+
+@pytest.mark.slow
 def test_export_w8a8_fused_cross_platform_from_cpu(tmp_path, rng):
     """--quantize w8a8_fused on a CPU host cross-platform-lowers the REAL
     Mosaic kernel for TPU (conversion is a host job — the edgetpu_compiler
