@@ -243,6 +243,8 @@ def _lower_infer(spec_name, cfg, variant, rng, cpu_device=None, scope="e2e"):
                 # Mosaic lowering happens inside the compile RPC, and a
                 # kernel interpret-mode wrongly accepted fails right here.
                 kw["w8a8_fused"] = True
+                if "chain" in variant:
+                    kw["w8a8_chain"] = True  # int8-resident ResBlock c1→c2
         if cpu_device is not None:
             # Host numpy leaves are UNCOMMITTED, so the lowering below
             # follows the default backend (TPU) instead of sticking to the

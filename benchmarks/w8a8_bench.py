@@ -114,6 +114,14 @@ def main(batch_size: int = 8, iters: int = 20, input_hw=None,
             out = model.apply(variables, x, train=False)
         return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
 
+    def fwd_w8a8_fused_chain(variables, x):
+        # Int8-resident ResBlock chaining on top of the fused kernels:
+        # c1→c2 buffers live in HBM as int8 (DESIGN.md §9c open lever).
+        with w8a8_fused_inference(scales, weight_table=fused_wtab,
+                                  chain=True):
+            out = model.apply(variables, x, train=False)
+        return tuple(jnp.sum(v, dtype=jnp.float32) for v in out.values())
+
     # BN-fold variants (infer/fold_bn.py): the normalize disappears; the
     # folded kernels are what the conv reads. Note the variables differ.
     from cvm_tpu.infer.fold_bn import bn_folded_inference, fold_batchnorm
@@ -160,6 +168,7 @@ def main(batch_size: int = 8, iters: int = 20, input_hw=None,
                 ("w8a8", fwd_w8a8, variables),
                 ("w8a8_static", fwd_w8a8_static, variables),
                 ("w8a8_fused", fwd_w8a8_fused, variables),
+                ("w8a8_fused_chain", fwd_w8a8_fused_chain, variables),
                 ("fold_bn+w8a8", fwd_fold_w8a8, folded_vars),
                 ("flat_stem", fwd_flat_stem, flat_vars))
     for name, fn, vs in variants:

@@ -79,6 +79,7 @@ class InferencePipeline:
         input_format: str = "rgb",
         w8a8: bool = False,
         w8a8_fused: bool = False,
+        w8a8_chain: bool = False,
         fused_interpret: Optional[bool] = None,
         fold_bn: bool = False,
         tta: str = "none",
@@ -102,6 +103,10 @@ class InferencePipeline:
                 "Silently serving dynamic-quant or fp when the fused int8 "
                 "path was requested would hide the miscalibration."
             )
+        if w8a8_chain and not w8a8_fused:
+            raise ValueError(
+                "w8a8_chain is a mode of the fused kernel path — set "
+                "w8a8_fused=True (with calibrated scales) as well")
         if fold_bn and w8a8_fused:
             # The fused Pallas kernel reads the live bn params/batch_stats
             # to build its epilogue affine; folded kernels ALREADY carry the
@@ -150,7 +155,8 @@ class InferencePipeline:
                 # the real Mosaic kernel (cross-platform export lowers it
                 # for TPU even from a CPU host).
                 with w8a8_fused_inference(w8a8, weight_table=wtab,
-                                          interpret=fused_interpret):
+                                          interpret=fused_interpret,
+                                          chain=w8a8_chain):
                     return base_apply(*a, **kw)
         elif isinstance(w8a8, dict):
             # Static-calibrated W8A8: elementwise quantize with fixed scales

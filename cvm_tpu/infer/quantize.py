@@ -380,9 +380,72 @@ def _fused_convbn(mod, x, sx: float, int8_dot: bool, interpret: bool,
     return y
 
 
+def _bn_affine(bn_params, bn_stats):
+    """Inference-time BN as a per-channel (a, b) affine, fp32 —
+    flax default epsilon, kept in sync with ConvBN (models/layers.py)."""
+    a = jnp.asarray(bn_params["scale"], jnp.float32) * jax.lax.rsqrt(
+        jnp.asarray(bn_stats["var"], jnp.float32) + 1e-5)
+    b = jnp.asarray(bn_params["bias"], jnp.float32) - jnp.asarray(
+        bn_stats["mean"], jnp.float32) * a
+    return a, b
+
+
+def _fused_resblock(mod, x, scales, wtab, path, int8_dot, interpret):
+    """Int8-resident chained ResBlock (DESIGN.md §9c's open lever):
+
+    ResBlock's dataflow is STATIC — c1's output feeds ONLY c2 — so c1's
+    epilogue can requantize straight into c2's calibrated lattice and the
+    h buffer between them lives in HBM as int8 (half the bytes of bf16).
+    The lattice values are the ones the unchained path computes (c2's own
+    input-quantize does the identical round/clip), so chaining moves the
+    quantize, not the math. Returns None when any piece is missing —
+    the per-ConvBN interceptor then handles c1/c2/proj individually."""
+    params = mod.variables["params"]
+    stats = mod.variables.get("batch_stats", {})
+    pre = path + "/" if path else ""
+    sx1 = scales.get(f"{pre}c1/conv")
+    sx2 = scales.get(f"{pre}c2/conv")
+    if not wtab or sx1 is None or sx2 is None:
+        return None
+    need_proj = x.shape[-1] != mod.features
+    sxp = scales.get(f"{pre}proj/conv") if need_proj else None
+    if need_proj and (sxp is None or f"{pre}proj" not in wtab):
+        return None
+    if (f"{pre}c1" not in wtab or f"{pre}c2" not in wtab
+            or "c1" not in stats or "c2" not in stats):
+        return None
+    from cvm_tpu.ops.pallas.fused_qconv import fused_qconv
+
+    wq1, sw1 = wtab[f"{pre}c1"]
+    wq2, sw2 = wtab[f"{pre}c2"]
+    a1, b1 = _bn_affine(params["c1"]["bn"], stats["c1"]["bn"])
+    a2, b2 = _bn_affine(params["c2"]["bn"], stats["c2"]["bn"])
+    out_dtype = mod.dtype or jnp.bfloat16
+    h_q = fused_qconv(
+        x, jnp.asarray(wq1), scale=float(sx1) * jnp.asarray(sw1) * a1,
+        bias=b1, inv_sx=1.0 / float(sx1), act="silu", int8_dot=int8_dot,
+        out_dtype=jnp.int8, inv_s_out=1.0 / float(sx2), interpret=interpret,
+    )
+    h = fused_qconv(
+        h_q, jnp.asarray(wq2), scale=float(sx2) * jnp.asarray(sw2) * a2,
+        bias=b2, inv_sx=None, act=None, int8_dot=int8_dot,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+    if need_proj:
+        wqp, swp = wtab[f"{pre}proj"]
+        ap, bp = _bn_affine(params["proj"]["bn"], stats["proj"]["bn"])
+        x = fused_qconv(
+            x, jnp.asarray(wqp), scale=float(sxp) * jnp.asarray(swp) * ap,
+            bias=bp, inv_sx=1.0 / float(sxp), act=None, int8_dot=int8_dot,
+            out_dtype=out_dtype, interpret=interpret,
+        )
+    return nn.silu(x.astype(out_dtype) + h)
+
+
 @contextlib.contextmanager
 def w8a8_fused_inference(scales: Dict[str, float], int8_dot: bool = True,
-                         interpret: bool = None, weight_table=None):
+                         interpret: bool = None, weight_table=None,
+                         chain: bool = False):
     """Every stride-1 1x1/3x3 ConvBN whose inner conv has a calibrated
     scale runs the fused Pallas int8 kernel; everything else (stem,
     strided convs, heads, uncalibrated convs) serves fp. Scales use the
@@ -390,8 +453,10 @@ def w8a8_fused_inference(scales: Dict[str, float], int8_dot: bool = True,
     interpret=None auto-selects the Pallas interpreter off-TPU (CPU CI).
     ``weight_table`` (prequantize_fused_weights): host-prequantized int8
     weights — the deployment posture; without it each eligible conv
-    re-quantizes its fp32 kernel inside the program (+25% measured HBM)."""
-    from cvm_tpu.models.layers import ConvBN
+    re-quantizes its fp32 kernel inside the program (+25% measured HBM).
+    ``chain``: additionally intercept whole ResBlocks and keep the c1→c2
+    buffer int8-resident (needs weight_table)."""
+    from cvm_tpu.models.layers import ConvBN, ResBlock
     from cvm_tpu.utils.backend import is_tpu_backend
 
     if interpret is None:
@@ -399,6 +464,18 @@ def w8a8_fused_inference(scales: Dict[str, float], int8_dot: bool = True,
 
     def interceptor(next_fn, args, kwargs, context):
         mod = context.module
+        if (chain and isinstance(mod, ResBlock)
+                and context.method_name == "__call__"):
+            train = kwargs.get("train", args[1] if len(args) > 1 else False)
+            if not train:
+                try:
+                    y = _fused_resblock(mod, args[0], scales, weight_table,
+                                        _module_path(context), int8_dot,
+                                        interpret)
+                except (KeyError, TypeError, AssertionError):
+                    y = None
+                if y is not None:
+                    return y
         if isinstance(mod, ConvBN) and context.method_name == "__call__":
             train = kwargs.get("train", args[1] if len(args) > 1 else False)
             path = _module_path(context)

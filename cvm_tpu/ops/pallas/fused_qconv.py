@@ -42,41 +42,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _quantize(x, inv_sx: float, dot_dtype):
+def _quantize(x, inv_sx: Optional[float], dot_dtype):
     """f32 tile → quantized-value tile in the dot input dtype.
 
     int8: exact integer lattice. bfloat16: the SAME lattice values held in
     bf16 (ints ≤ 127 are exact in bf16) — for backends where Mosaic lacks
     the s8 MXU path; products are exact, only the f32 accumulation rounds
     (≲1e-7 relative at these depths).
+
+    inv_sx=None: the input is ALREADY lattice points (int8-resident
+    chaining — the producer's epilogue quantized into THIS conv's
+    lattice); just cast to the dot dtype.
     """
+    if inv_sx is None:
+        return x.astype(dot_dtype)
     q = jnp.round(jnp.clip(x.astype(jnp.float32) * inv_sx, -127.0, 127.0))
     return q.astype(dot_dtype)
 
 
-def _epilogue(acc, sc_ref, bi_ref, act: Optional[str], out_dtype):
+def _epilogue(acc, sc_ref, bi_ref, act: Optional[str], out_dtype,
+              inv_s_out: Optional[float] = None):
     y = acc.astype(jnp.float32) * sc_ref[0][None, :] + bi_ref[0][None, :]
     if act == "silu":
         y = y * jax.nn.sigmoid(y)
     elif act == "relu":
         y = jnp.maximum(y, 0.0)
+    if inv_s_out is not None:
+        # Int8-resident output: requantize into the CONSUMER's calibrated
+        # lattice inside VMEM — the inter-conv HBM buffer becomes int8.
+        # Same lattice math the consumer's own input-quantize would do, so
+        # chaining changes which buffer holds the values, not the values.
+        y = jnp.round(jnp.clip(y * inv_s_out, -127.0, 127.0))
     return y.astype(out_dtype)
 
 
 def _kernel_1x1(xm_ref, w_ref, sc_ref, bi_ref, out_ref, *,
-                inv_sx, act, dot_dtype, acc_dtype):
+                inv_sx, act, dot_dtype, acc_dtype, inv_s_out=None):
     bh, W, cin = xm_ref.shape[1:]
     xq = _quantize(xm_ref[0], inv_sx, dot_dtype).reshape(bh * W, cin)
     acc = jax.lax.dot_general(
         xq, w_ref[0, 0], (((1,), (0,)), ((), ())),
         preferred_element_type=acc_dtype,
     )
-    out_ref[0] = _epilogue(acc, sc_ref, bi_ref, act,
-                           out_ref.dtype).reshape(bh, W, -1)
+    out_ref[0] = _epilogue(acc, sc_ref, bi_ref, act, out_ref.dtype,
+                           inv_s_out=inv_s_out).reshape(bh, W, -1)
 
 
 def _kernel_3x3(xm_ref, xt_ref, xb_ref, w_ref, sc_ref, bi_ref, out_ref, *,
-                inv_sx, act, dot_dtype, acc_dtype, n_row_blocks):
+                inv_sx, act, dot_dtype, acc_dtype, n_row_blocks,
+                inv_s_out=None):
     i = pl.program_id(1)
     bh, W, cin = xm_ref.shape[1:]
     bn = out_ref.shape[-1]
@@ -113,8 +127,8 @@ def _kernel_3x3(xm_ref, xt_ref, xb_ref, w_ref, sc_ref, bi_ref, out_ref, *,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=acc_dtype,
             )
-    out_ref[0] = _epilogue(acc, sc_ref, bi_ref, act,
-                           out_ref.dtype).reshape(bh, W, bn)
+    out_ref[0] = _epilogue(acc, sc_ref, bi_ref, act, out_ref.dtype,
+                           inv_s_out=inv_s_out).reshape(bh, W, bn)
 
 
 def _pick_bh(H: int, W: int) -> int:
@@ -130,25 +144,35 @@ def _pick_bh(H: int, W: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("inv_sx", "act", "int8_dot", "interpret", "out_dtype"),
+    static_argnames=("inv_sx", "act", "int8_dot", "interpret", "out_dtype",
+                     "inv_s_out"),
 )
 def fused_qconv(
-    x: jnp.ndarray,          # (B, H, W, Cin) fp — the producer's output
+    x: jnp.ndarray,          # (B, H, W, Cin) fp — or int8 lattice points
     w_q: jnp.ndarray,        # (kh, kw, Cin, Cout) int8
     scale: jnp.ndarray,      # (Cout,) f32 — sx * sw * bn_a (combined)
     bias: jnp.ndarray,       # (Cout,) f32 — bn_b (or conv bias)
     *,
-    inv_sx: float,           # static calibrated 1/sx (trace-time constant)
+    inv_sx: Optional[float],  # static calibrated 1/sx; None = x is ALREADY
+                              # int8 lattice points in this conv's scale
+                              # (int8-resident chaining)
     act: Optional[str] = "silu",
     int8_dot: bool = True,   # False: bf16 lattice values, f32 accumulate
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    inv_s_out: Optional[float] = None,  # set (with out_dtype=int8): requant
+                                        # the epilogue into the CONSUMER's
+                                        # lattice — int8 inter-conv buffer
 ) -> jnp.ndarray:
     B, H, W, Cin = x.shape
     kh, kw, wcin, Cout = w_q.shape
     assert (kh, kw) in ((1, 1), (3, 3)), "fused_qconv: 1x1/3x3 only"
     assert wcin == Cin, (wcin, Cin)
     assert scale.shape == (Cout,) and bias.shape == (Cout,)
+    if inv_sx is None:
+        assert x.dtype == jnp.int8, "inv_sx=None needs an int8 lattice input"
+    if inv_s_out is not None:
+        assert out_dtype == jnp.int8, "inv_s_out emits int8 lattice points"
 
     bh = _pick_bh(H, W)
     bn = Cout if Cout <= 128 else 128
@@ -167,10 +191,12 @@ def fused_qconv(
     sc_spec = pl.BlockSpec((1, bn), lambda b, i, j: (0, j))
     out_spec = pl.BlockSpec((1, bh, W, bn), lambda b, i, j: (b, i, 0, j))
 
+    inv_sx_f = None if inv_sx is None else float(inv_sx)
+    inv_s_out_f = None if inv_s_out is None else float(inv_s_out)
     if (kh, kw) == (1, 1):
         kern = functools.partial(
-            _kernel_1x1, inv_sx=float(inv_sx), act=act,
-            dot_dtype=dot_dtype, acc_dtype=acc_dtype,
+            _kernel_1x1, inv_sx=inv_sx_f, act=act,
+            dot_dtype=dot_dtype, acc_dtype=acc_dtype, inv_s_out=inv_s_out_f,
         )
         in_specs = [x_main, w_spec, sc_spec, sc_spec]
         operands = (x, w_q, sc2, bi2)
@@ -187,8 +213,9 @@ def fused_qconv(
             lambda b, i, j: (b, jnp.minimum(i * bh + bh, H - 1), 0, 0),
         )
         kern = functools.partial(
-            _kernel_3x3, inv_sx=float(inv_sx), act=act,
+            _kernel_3x3, inv_sx=inv_sx_f, act=act,
             dot_dtype=dot_dtype, acc_dtype=acc_dtype, n_row_blocks=nH,
+            inv_s_out=inv_s_out_f,
         )
         in_specs = [x_main, x_top, x_bot, w_spec, sc_spec, sc_spec]
         operands = (x, x, x, w_q, sc2, bi2)

@@ -14,7 +14,10 @@ export FLAGSHIP_PERSIST_FILE=runs/FLAGSHIP_SEMSEG_PERSIST
 # Shares runs/FLAGSHIP_RUNNING with the (completed) centernet flagship so
 # watcher probes / measure steps / bench.py SIGSTOP whichever trainer owns
 # the chip — only one flagship trains at a time.
-export FLAGSHIP_TRAIN_CMD="python -m cvm_tpu.cli.train --model semseg \
+# exec: the pid recorded in runs/FLAGSHIP_RUNNING must be the PYTHON
+# process (SIGSTOP from timing-grade work has to reach the chip owner,
+# not a bash wrapper whose child keeps dispatching).
+export FLAGSHIP_TRAIN_CMD="exec python -m cvm_tpu.cli.train --model semseg \
   --data synthetic --steps 4000 --eval_every 2000 --eval_batches 12 \
   --keep_best miou --workdir runs/flagship_semseg \
   --checkpoint_every 500 --log_every 100 --auto_restart 3 \

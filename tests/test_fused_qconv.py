@@ -87,6 +87,91 @@ def test_kernel_matches_quantized_oracle(kh, B, H, W, cin, cout, act):
     np.testing.assert_allclose(got_bf, ref, rtol=5e-4, atol=5e-4)
 
 
+def test_kernel_int8_chain_modes_match_oracle():
+    """inv_s_out (int8 lattice out, in the consumer's scale) chained into
+    inv_sx=None (int8 lattice in) must equal quantize-the-fp-path within
+    bf16-rounding noise — chaining moves the quantize, not the math."""
+    rng = np.random.default_rng(7)
+    B, H, W, cin, cmid, cout = 2, 8, 16, 16, 32, 24
+    x = rng.normal(0, 1, (B, H, W, cin)).astype(np.float32)
+    wq1 = rng.integers(-127, 128, (3, 3, cin, cmid)).astype(np.int8)
+    wq2 = rng.integers(-127, 128, (3, 3, cmid, cout)).astype(np.int8)
+    sc1 = (rng.uniform(0.5, 2, (cmid,)) * 1e-3).astype(np.float32)
+    sc2 = (rng.uniform(0.5, 2, (cout,)) * 1e-3).astype(np.float32)
+    b1 = rng.normal(0, 0.1, (cmid,)).astype(np.float32)
+    b2 = rng.normal(0, 0.1, (cout,)).astype(np.float32)
+    sx1, sx2 = 0.02, 0.015
+
+    # Unchained reference: fp32 intermediate, consumer quantizes itself.
+    y1 = np.asarray(fused_qconv(
+        jnp.asarray(x), jnp.asarray(wq1), jnp.asarray(sc1), jnp.asarray(b1),
+        inv_sx=1 / sx1, act="silu", int8_dot=True, out_dtype=jnp.float32,
+        interpret=True))
+    ref = np.asarray(fused_qconv(
+        jnp.asarray(y1), jnp.asarray(wq2), jnp.asarray(sc2), jnp.asarray(b2),
+        inv_sx=1 / sx2, act=None, int8_dot=True, out_dtype=jnp.float32,
+        interpret=True))
+
+    # Chained: c1 emits int8 in c2's lattice; c2 skips its input quantize.
+    h_q = fused_qconv(
+        jnp.asarray(x), jnp.asarray(wq1), jnp.asarray(sc1), jnp.asarray(b1),
+        inv_sx=1 / sx1, act="silu", int8_dot=True, out_dtype=jnp.int8,
+        inv_s_out=1 / sx2, interpret=True)
+    assert h_q.dtype == jnp.int8
+    got = np.asarray(fused_qconv(
+        h_q, jnp.asarray(wq2), jnp.asarray(sc2), jnp.asarray(b2),
+        inv_sx=None, act=None, int8_dot=True, out_dtype=jnp.float32,
+        interpret=True))
+    # Identical lattice math — float32-roundoff-level agreement only.
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_chained_resblock_matches_unchained(rng):
+    """chain=True intercepts whole ResBlocks: outputs must match the
+    unchained fused path closely and the block interceptor must fire."""
+    import cvm_tpu.infer.quantize as qz
+    from cvm_tpu.models.layers import ResBlock
+
+    mod = ResBlock(24)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 8)).astype(np.float32))
+    variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+    scales = calibrate_activation_scales(
+        lambda v: mod.apply(variables, v, train=False), [x])
+    from cvm_tpu.infer.quantize import prequantize_fused_weights
+
+    wtab = prequantize_fused_weights(variables)
+    assert {"c1", "c2", "proj"} <= set(wtab)
+
+    with w8a8_fused_inference(scales, interpret=True, weight_table=wtab):
+        ref = np.asarray(mod.apply(variables, x, train=False), np.float32)
+
+    fired = []
+    real = qz._fused_resblock
+
+    def counting(*a, **kw):
+        y = real(*a, **kw)
+        if y is not None:
+            fired.append(1)
+        return y
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(qz, "_fused_resblock", counting)
+    try:
+        with w8a8_fused_inference(scales, interpret=True, weight_table=wtab,
+                                  chain=True):
+            got = np.asarray(mod.apply(variables, x, train=False), np.float32)
+    finally:
+        mp.undo()
+    assert fired, "chain interceptor never fired"
+    # Same int8 lattices; differences only from bf16-rounding of the
+    # unchained path's intermediate buffer.
+    np.testing.assert_allclose(got, ref, rtol=0.02, atol=0.02)
+    fp = np.asarray(mod.apply(variables, x, train=False), np.float32)
+    assert np.abs(got - fp).mean() < 0.05
+
+
 @pytest.mark.slow  # 72 s measured (interpret-mode kernels over a full net)
 def test_fused_interceptor_matches_fp(rng, monkeypatch):
     """Semseg tiny: the fused path serves logits close to fp, and the

@@ -25,7 +25,8 @@ def test_w8a8_bench_emits_all_variant_rows():
             if l.startswith("{")]
     variants = {r["variant"] for r in rows if "variant" in r}
     assert {"bf16", "fold_bn", "w8a8", "w8a8_static", "w8a8_fused",
-            "fold_bn+w8a8", "flat_stem"} <= variants, variants
+            "w8a8_fused_chain", "fold_bn+w8a8", "flat_stem"} <= variants, \
+        variants
     by = {r["variant"]: r for r in rows if "variant" in r}
     # Every variant either timed or recorded its failure as a first-class
     # result (the Mosaic-rejection guard) — never silently missing.
