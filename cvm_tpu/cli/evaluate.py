@@ -169,14 +169,16 @@ def main(argv=None):
                              "checkpoints (SWA) instead of the newest one")
     parser.add_argument("--quantize", default="none",
                         choices=("none", "int8", "w8a8", "w8a8_static",
-                                 "w8a8_fused"),
+                                 "w8a8_fused", "w8a8_fused_chain"),
                         help="score the DEPLOYED numerics: int8 = weight-only "
                              "(what --quantize int8 artifacts serve), w8a8 = "
                              "dynamic full-integer convs, w8a8_static = "
                              "calibrated static scales (identical calibration "
                              "to cli.export, so this measures the artifact), "
                              "w8a8_fused = same calibrated lattice through "
-                             "the fused Pallas int8 ConvBN kernel")
+                             "the fused Pallas int8 ConvBN kernel, "
+                             "w8a8_fused_chain = + int8-resident ResBlock "
+                             "c1→c2 buffers (DESIGN.md §9c)")
     parser.add_argument("--fold_bn", action="store_true",
                         help="evaluate with conv+BN folded as at export time")
     parser.add_argument("--calib_batches", type=int, default=3,
@@ -271,8 +273,10 @@ def main(argv=None):
     # training graph — these flags reproduce each artifact's compute path
     # inside the full metric pipeline.
     w8a8 = False
-    w8a8_fused = args.quantize == "w8a8_fused"
-    if (args.quantize in ("w8a8", "w8a8_static", "w8a8_fused")
+    w8a8_fused = args.quantize in ("w8a8_fused", "w8a8_fused_chain")
+    w8a8_chain = args.quantize == "w8a8_fused_chain"
+    if (args.quantize in ("w8a8", "w8a8_static", "w8a8_fused",
+                          "w8a8_fused_chain")
             and args.model == "dmds"):
         parser.error("w8a8 evaluation is not supported for two-frame dmds "
                      "(matches cli.export)")
@@ -292,7 +296,7 @@ def main(argv=None):
         variables = {**variables, "params": dequantize_params(qparams)}
     elif args.quantize == "w8a8":
         w8a8 = True
-    elif args.quantize in ("w8a8_static", "w8a8_fused"):
+    elif args.quantize in ("w8a8_static", "w8a8_fused", "w8a8_fused_chain"):
         # Identical calibration recipe to cli.export (synthetic scenes
         # through the serving preprocess), so the measured accuracy is the
         # shipped artifact's, scales included.
@@ -325,7 +329,8 @@ def main(argv=None):
                        mesh=trainer.mesh, per_class=args.per_class,
                        size_buckets=args.size_ap, confusion=args.confusion,
                        pr_curves=args.pr_out is not None, tta=args.tta,
-                       w8a8=w8a8, w8a8_fused=w8a8_fused, fold_bn=args.fold_bn)
+                       w8a8=w8a8, w8a8_fused=w8a8_fused,
+                       w8a8_chain=w8a8_chain, fold_bn=args.fold_bn)
     if args.pr_out:
         with open(args.pr_out, "w") as f:
             json.dump(m.pop("pr_curves", {}), f)

@@ -317,6 +317,7 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
                    tta: str = "none",
                    w8a8=False,
                    w8a8_fused: bool = False,
+                   w8a8_chain: bool = False,
                    fold_bn: bool = False,
                    predict_fn=None) -> Dict[str, float]:
     """Run the e2e pipeline over a loader and compute task metrics.
@@ -393,6 +394,7 @@ def evaluate_model(spec, cfg, variables, loader, max_batches: Optional[int] = No
                 pipe = InferencePipeline(spec, cfg, variables, mesh=mesh,
                                          input_format=fmt, tta=tta,
                                          w8a8=w8a8, w8a8_fused=w8a8_fused,
+                                         w8a8_chain=w8a8_chain,
                                          fold_bn=fold_bn)
         out = pipe(batch)
         out = {k: np.asarray(v) for k, v in out.items()}
