@@ -65,7 +65,7 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
                         int(cfg.input_hw[1] * 1.5) // 2 * 2)
 
     w8a8_scales = None
-    if quantize in ("w8a8", "w8a8_fused"):
+    if quantize in ("w8a8", "w8a8_fused", "w8a8_fused_chain"):
         # Full-integer compute baked into the artifact (the reference's
         # full-int8 TFLite analogue, SURVEY.md §3.5): calibrate per-conv
         # activation scales on synthetic scenes, then export the program
@@ -93,13 +93,15 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
 
     pipe = InferencePipeline(spec, cfg, variables, input_format=input_format,
                              w8a8=w8a8_scales if w8a8_scales else False,
-                             w8a8_fused=(quantize == "w8a8_fused"),
+                             w8a8_fused=quantize.startswith("w8a8_fused"),
+                             w8a8_chain=(quantize == "w8a8_fused_chain"),
                              # The exported fused program must carry the
                              # REAL Mosaic kernel, never the CPU
                              # interpreter's emulation — cross-platform
                              # lowering (platforms=["tpu"] below) makes
                              # that possible from any host.
-                             fused_interpret=(False if quantize == "w8a8_fused"
+                             fused_interpret=(False
+                                              if quantize.startswith("w8a8_fused")
                                               else None),
                              fold_bn=fold_bn, tta=tta)
     # With fold_bn the traced program expects the FOLDED kernels (the BN
@@ -140,7 +142,7 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
     # (StableHLO is the portability layer; programs with TPU custom calls
     # are additionally lowered FOR tpu explicitly, below).
     export_kw = {"disabled_checks": [jax_export.DisabledSafetyCheck.platform()]}
-    if quantize == "w8a8_fused":
+    if quantize.startswith("w8a8_fused"):
         # The Pallas kernel lowers to a tpu_custom_call; jax.export refuses
         # custom calls by default (portability) — this artifact is
         # explicitly TPU-targeted, so the check is safe to disable, and
@@ -188,7 +190,7 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
                 flat[key] = np.asarray(v)
 
     qstats = {}
-    if quantize in ("w8a8", "w8a8_fused"):
+    if quantize in ("w8a8", "w8a8_fused", "w8a8_fused_chain"):
         qstats["calibrated_convs"] = len(w8a8_scales or {})
         _flatten("params", jax.device_get(trainer.eval_params))
     elif quantize == "int8":
@@ -235,7 +237,7 @@ def export_model(spec_name: str, checkpoint_dir: str, out_dir: str,
     from cvm_tpu.utils.backend import is_tpu_backend
 
     with_3d = bool(getattr(cfg, "with_3d", False))
-    if quantize == "w8a8_fused" and not is_tpu_backend():
+    if quantize.startswith("w8a8_fused") and not is_tpu_backend():
         # Cross-platform export: the tpu-targeted program cannot EXECUTE on
         # this host. Record that the fingerprint is deferred — ServingModel
         # .selftest() / cli.serve --selftest computes and pins it at the
@@ -275,7 +277,8 @@ def main(argv=None):
              "QPS. Overrides --batch_size (primary program = largest).",
     )
     parser.add_argument("--quantize",
-                        choices=["none", "int8", "w8a8", "w8a8_fused"],
+                        choices=["none", "int8", "w8a8", "w8a8_fused",
+                                 "w8a8_fused_chain"],
                         default="none",
                         help="int8 = weight-only (4x smaller artifact); w8a8 = "
                              "full-integer compute baked into the program "

@@ -246,7 +246,8 @@ def test_deferred_selftest_pins_on_first_run(tmp_path, rng):
 
 
 @pytest.mark.slow
-def test_export_w8a8_fused_cross_platform_from_cpu(tmp_path, rng):
+@pytest.mark.parametrize("qmode", ["w8a8_fused", "w8a8_fused_chain"])
+def test_export_w8a8_fused_cross_platform_from_cpu(tmp_path, rng, qmode):
     """--quantize w8a8_fused on a CPU host cross-platform-lowers the REAL
     Mosaic kernel for TPU (conversion is a host job — the edgetpu_compiler
     analogue): the artifact records platforms=('tpu',), embeds
@@ -272,8 +273,7 @@ def test_export_w8a8_fused_cross_platform_from_cpu(tmp_path, rng):
     tr.fit(itertools.cycle(pool), 1)
     tr.ckpt.wait()
     out = str(tmp_path / "art_fused")
-    stats = export_model("semseg", ckdir, out, batch_size=1,
-                         quantize="w8a8_fused")
+    stats = export_model("semseg", ckdir, out, batch_size=1, quantize=qmode)
     assert stats["platforms"] == ["tpu"]
     assert stats["calibrated_convs"] > 5
     meta = _json.load(open(f"{out}/artifact.json"))
