@@ -203,6 +203,11 @@ def main(argv=None):
                 _mirror_run(src_dir, snap)
         for src in sorted(_glob.glob("runs/roofline*.json")):
             shutil.copy2(src, os.path.join(snap, os.path.basename(src)))
+        # Ad-hoc eval --json_out records land next to the step logs but
+        # have no .log of their own — mirror them verbatim (tiny files).
+        for src in sorted(_glob.glob(os.path.join(out, "*.json"))):
+            if os.path.basename(src) != "RESULTS.json":
+                shutil.copy2(src, os.path.join(snap, os.path.basename(src)))
         print(f"snapshot mirrored into {snap}/ (commit it: evidence under "
               f"runs/ does not survive a workspace reset)")
     return 0
